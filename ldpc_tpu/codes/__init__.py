@@ -1,0 +1,28 @@
+"""Code construction & matrix I/O (layer L0 of the framework).
+
+Covers the reference's ``fileHandler.py`` / ``wifiMatrices.py`` /
+``common.uncompress`` capabilities with a QC-first representation.
+"""
+
+from .qc import QCCode, edges_by_block_col, edges_by_block_row
+from .io import (bits_to_hex, code_hex_name, hex_to_bits, load_code_instance,
+                 load_code_json, read_dense_generator, read_qc_generator_rows,
+                 read_qc_parity, save_code_instance, save_code_json)
+from .ccsds import (near_earth_code, near_earth_generator_dense,
+                    near_earth_generator_rows)
+from .wifi import WIFI_1944_81_RATE_5_6, from_prototype, wifi_code
+from .codec import compress, observation_bytes, uncompress
+from .perturb import zero_circulant, zeroed_circulant_suite, write_suite
+
+__all__ = [
+    "QCCode", "edges_by_block_col", "edges_by_block_row",
+    "bits_to_hex", "hex_to_bits", "code_hex_name",
+    "read_qc_parity", "read_qc_generator_rows", "read_dense_generator",
+    "load_code_json", "save_code_json", "save_code_instance",
+    "load_code_instance",
+    "near_earth_code", "near_earth_generator_rows",
+    "near_earth_generator_dense",
+    "WIFI_1944_81_RATE_5_6", "from_prototype", "wifi_code",
+    "compress", "uncompress", "observation_bytes",
+    "zero_circulant", "zeroed_circulant_suite", "write_suite",
+]

@@ -1,0 +1,153 @@
+"""Tests for layer L0: QC structures, file formats, codecs.
+
+Mirrors the reference's test strategy (`test_ldpc.py:20,31`,
+`ldpc_env.testCompressionRoundrip` at ldpc_env.py:410) plus structural
+golden checks on the CCSDS/802.11n tables.
+"""
+
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes import (QCCode, bits_to_hex, code_hex_name, compress,
+                            hex_to_bits, load_code_instance, near_earth_code,
+                            near_earth_generator_dense, read_qc_parity,
+                            save_code_instance, save_code_json, load_code_json,
+                            uncompress, wifi_code, zeroed_circulant_suite)
+
+
+def toy_code():
+    return QCCode(z=7, shifts=(((1, 3), (0,), ()), ((2,), (), (4, 5))),
+                  name="toy")
+
+
+def test_qc_dense_roundtrip():
+    code = toy_code()
+    h = code.to_dense()
+    assert h.shape == (14, 21)
+    assert QCCode.from_dense(h, z=7).shifts == code.shifts
+    # circulant convention: CN lane i connects VN lane (i + s) % z
+    assert h[0, 1] == 1 and h[0, 3] == 1 and h[1, 2] == 1
+    assert h[6, 0] == 1  # shift 1 wraps: (6 + 1) % 7 = 0
+
+
+def test_qc_degrees_and_edges():
+    code = toy_code()
+    assert code.row_degrees() == [3, 3]
+    assert code.col_degrees() == [3, 1, 2]
+    assert code.num_block_edges == 6
+    dense = code.to_dense()
+    assert dense.sum() == code.num_edges
+
+
+def test_replace_block_is_pure():
+    code = toy_code()
+    new = code.replace_block(0, 2, (6,))
+    assert code.shifts[0][2] == ()
+    assert new.shifts[0][2] == (6,)
+    bits = np.zeros(7, np.int32)
+    bits[2] = 1
+    assert new.replace_block(1, 1, bits).shifts[1][1] == (2,)
+
+
+def test_hex_codec_roundtrip():
+    bits = np.array([1, 0, 1, 1, 0, 0, 0, 1], np.int32)
+    assert bits_to_hex(bits) == "B1"
+    assert np.array_equal(hex_to_bits("B1"), bits)
+    assert np.array_equal(hex_to_bits("b1\n"), bits)  # lowercase + junk ok
+    rng = np.random.RandomState(3)
+    b = rng.randint(0, 2, 64)
+    assert np.array_equal(hex_to_bits(bits_to_hex(b)), b)
+
+
+def test_near_earth_structure():
+    code = near_earth_code()
+    assert (code.z, code.block_rows, code.block_cols) == (511, 2, 16)
+    assert (code.n, code.m, code.k) == (8176, 1022, 7154)
+    assert code.row_degrees() == [32, 32]
+    assert set(code.col_degrees()) == {4}
+
+
+def test_near_earth_generator_consistency():
+    """Every generator row must be a codeword of the parity code
+    (fileHandler.py:234 loads both; the reference never asserts this)."""
+    h = near_earth_code().to_dense(np.int8)
+    g = near_earth_generator_dense()
+    assert g.shape == (7154, 8176)
+    # check a random batch of rows to keep it fast
+    rng = np.random.RandomState(0)
+    rows = rng.choice(7154, 32, replace=False)
+    syn = (h.astype(np.int32) @ g[rows].T.astype(np.int32)) % 2
+    assert not syn.any()
+
+
+def test_wifi_structure():
+    code = wifi_code(1944, 5 / 6)
+    assert (code.z, code.n, code.m) == (81, 1944, 324)
+    assert code.k == 1620
+    dense = code.to_dense()
+    assert dense.shape == (324, 1944)
+    assert dense.sum() == code.num_edges
+
+
+def test_parity_file_reader(tmp_path):
+    code = toy_code()
+    lines = []
+    for row in code.shifts:
+        for block in row:
+            lines.append(",".join(str(s) for s in block))
+    # empty block lines are not representable in the reference format;
+    # use a fully-populated toy instead
+    full = QCCode(z=7, shifts=(((1, 3), (0,)), ((2,), (4, 5))))
+    txt = "\n".join(",".join(map(str, b)) for row in full.shifts for b in row)
+    p = tmp_path / "toy.txt"
+    p.write_text(txt + "\n")
+    parsed = read_qc_parity(p, 2, 2, 7)
+    assert parsed.shifts == full.shifts
+
+
+def test_compress_uncompress_roundtrip_near_earth_shape():
+    """1000-roundtrip test of the reference (ldpc_env.py:410-418), shrunk."""
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        rows = (rng.random((2, 16, 511)) < 0.01).astype(np.int32)
+        code = QCCode.from_first_rows(rows)
+        obs = compress(code)
+        assert obs.shape == (2048,) and obs.dtype == np.uint8
+        back = uncompress(obs, 2, 16, 511)
+        assert back.shifts == code.shifts
+
+
+def test_compress_uncompress_wifi_shape():
+    code = wifi_code()
+    obs = compress(code)
+    back = uncompress(obs, code.block_rows, code.block_cols, code.z)
+    assert back.shifts == code.shifts
+
+
+def test_code_json_roundtrip(tmp_path):
+    code = toy_code()
+    save_code_json(code, tmp_path / "c.json")
+    assert load_code_json(tmp_path / "c.json").shifts == code.shifts
+
+
+def test_save_load_code_instance(tmp_path):
+    code = toy_code()
+    name = save_code_instance(code, tmp_path, evaluation_time=1.5)
+    loaded, payload = load_code_instance(tmp_path / (name + ".npz"))
+    assert loaded.shifts == code.shifts
+    assert payload["evaluation_time"] == 1.5
+    assert name.startswith("7_2_3_")
+
+
+def test_code_hex_name_deterministic():
+    a, b = code_hex_name(near_earth_code()), code_hex_name(near_earth_code())
+    assert a == b and len(a) == 32 * len(bits_to_hex(np.zeros(512, np.int32)))
+
+
+def test_zeroed_circulant_suite():
+    """32 perturbations of near-earth (testMatricesGeneratorScript.py:27-34)."""
+    suite = list(zeroed_circulant_suite(near_earth_code()))
+    assert len(suite) == 32
+    mb, nb, variant = suite[5]
+    assert variant.shifts[mb][nb] == ()
+    assert variant.num_block_edges == near_earth_code().num_block_edges - 2
