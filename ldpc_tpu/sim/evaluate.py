@@ -1,0 +1,153 @@
+"""Monte-Carlo BER/FER evaluation: batched SNR sweeps on TPU.
+
+Reference equivalents: ``evaluateCode`` / ``evaluateCodeAtSingleTransmission``
+(``ldpc.py:350-430``), ``evaluateCodeCuda``'s (SNR x transmission) loop
+(``ldpcCUDA.py:576-664``) and the multi-device wrapper
+(``evaluateCodeCudaWrapper``, ``ldpcCUDA.py:891-932``).
+
+TPU-first design: the reference decodes ONE codeword per GPU invocation with
+~11 kernel launches and a host sync per iteration; here each *step* decodes a
+[B]-codeword batch inside one fused XLA loop, and a sweep is a handful of
+steps.  Multi-chip scaling needs no process pools: the batch axis is sharded
+over a ``jax.sharding.Mesh`` (data-parallel over ICI/DCN) and every chip
+decodes its shard of codewords; per-word outputs come back as one sharded
+array (the `psum`-style stat merge happens in `ldpc_tpu.parallel`).
+
+Also provides the deterministic ``evaluate_epsilon_probe`` mirroring
+``evaluateMatrixAndEpsilon`` (ldpcCUDA.py:677-828) — the reproducibility /
+bit-exactness entry point.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.qc import QCCode
+from ..ops.decoder import decoder_for_code
+from .channel import awgn, epsilon_probe, llr_from_channel, snr_db_to_sigma
+from .stats import BerStatistics
+
+__all__ = ["evaluate_code", "evaluate_epsilon_probe", "sweep_step"]
+
+
+def sweep_step(code: QCCode, max_iters: int = 50, *, kind: str = "min-sum",
+               scale_llr: bool = False, dtype=jnp.float32, **decoder_kw):
+    """Build the jitted Monte-Carlo step: (key, snr_db[B]) -> per-word stats.
+
+    The step transmits the all-zero codeword (the reference's default path,
+    ldpc.py:409-411) through BPSK+AWGN and decodes it.  ``snr_db`` is a
+    per-word vector so one batch can mix SNR points.  With
+    ``scale_llr=True`` the decoder sees true LLRs 2y/sigma^2 (needed for
+    sum-product); min-sum variants are scale-invariant and use raw samples
+    like the reference.
+
+    Returns a function producing a dict of [B] arrays:
+    errors_uncoded, errors_decoded, iterations, success, sigma,
+    sigma_actual.
+    """
+    n = code.n
+    decode_fn = decoder_for_code(code, max_iters, kind=kind, dtype=dtype,
+                                 **decoder_kw)
+
+    @jax.jit
+    def step(key, snr_db):
+        b = snr_db.shape[0]
+        clean = jnp.full((b, n), -1.0, jnp.float32)
+        noisy, sigma, sigma_actual = awgn(key, clean, snr_db)
+        senseword = noisy > 0
+        llr = llr_from_channel(noisy, sigma) if scale_llr else noisy
+        res = decode_fn(llr)
+        return {
+            "errors_uncoded": jnp.sum(senseword, axis=-1, dtype=jnp.int32),
+            "errors_decoded": jnp.sum(
+                res.hard.astype(jnp.int32), axis=-1),
+            "iterations": res.iterations,
+            "success": res.success,
+            "sigma": sigma,
+            "sigma_actual": sigma_actual,
+        }
+
+    return step
+
+
+def evaluate_code(code: QCCode,
+                  snr_points: Sequence[float],
+                  num_transmissions: int,
+                  max_iters: int = 50,
+                  *,
+                  seed: int = 7134066,
+                  batch_size: int = 256,
+                  kind: str = "min-sum",
+                  scale_llr: bool = False,
+                  dtype=jnp.float32,
+                  early_abort_ber: float | None = None,
+                  stats: BerStatistics | None = None,
+                  verbose: bool = False) -> BerStatistics:
+    """Run a full SNR sweep; returns mergeable BerStatistics.
+
+    ``early_abort_ber``: stop the sweep if a finished SNR point's BER
+    exceeds this reference value (the reference's early abort,
+    ldpc.py:473-475 / the env's budget guard).
+
+    The default seed matches the reference's global PRNG seed
+    (``LDPC_LOCAL_PRNG``, ldpc.py:24) in spirit; statistics agree within
+    Monte-Carlo error, not sample-for-sample (different PRNG family).
+    """
+    step = sweep_step(code, max_iters, kind=kind, scale_llr=scale_llr,
+                      dtype=dtype)
+    stats = stats if stats is not None else BerStatistics(code.n)
+    root = jax.random.key(seed)
+    for s_idx, snr in enumerate(snr_points):
+        t0 = time.time()
+        done_words = 0
+        point_errs = 0
+        while done_words < num_transmissions:
+            b = min(batch_size, num_transmissions - done_words)
+            key = jax.random.fold_in(jax.random.fold_in(root, s_idx),
+                                     done_words)
+            out = step(key, jnp.full((b,), snr, jnp.float32))
+            out = jax.device_get(out)
+            stats.add_batch(
+                snr=np.full(b, snr), sigma=out["sigma"],
+                sigma_actual=out["sigma_actual"],
+                errors_uncoded=out["errors_uncoded"],
+                errors_decoded=out["errors_decoded"],
+                iterations=out["iterations"], max_iterations=max_iters,
+                success=out["success"])
+            point_errs += int(out["errors_decoded"].sum())
+            done_words += b
+        if verbose:
+            dt = time.time() - t0
+            bits = num_transmissions * code.n
+            print(f"[evaluate] snr {snr}: {dt:.3f}s, "
+                  f"{bits / dt:,.0f} bit/s decoded, "
+                  f"BER {point_errs / bits:.3e}")
+        if early_abort_ber is not None:
+            ber = point_errs / (num_transmissions * code.n)
+            if ber > early_abort_ber:
+                break
+    return stats
+
+
+def evaluate_epsilon_probe(code: QCCode, epsilon: float = 1e-2,
+                           flips: Sequence[int] = (0,),
+                           max_iters: int = 50, **decoder_kw):
+    """Deterministic single-vector probe (ldpcCUDA.py:677-828 equivalent).
+
+    Decodes ``modulate(zeros) + epsilon`` with the given hard sign flips;
+    no PRNG involved.  Returns (errors_uncoded, errors_decoded,
+    iterations, success) — the reference returns the same four numbers
+    plus wall time.
+    """
+    probe = epsilon_probe(code.n, flips=flips, epsilon=epsilon)
+    res = decoder_for_code(code, max_iters, **decoder_kw)(probe)
+    errors_uncoded = int(np.asarray(probe > 0).sum())
+    return (errors_uncoded,
+            int(np.asarray(res.hard).sum()),
+            int(res.iterations[0]),
+            bool(res.success[0]))

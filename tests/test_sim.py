@@ -1,0 +1,122 @@
+"""Tests for layer L2: statistics, evaluation harness, reward fitting.
+
+Mirrors the reference's system-level acceptance (test_ldpc.py:25: the BER
+waterfall must reach zero at the high-SNR points) plus golden checks of the
+reward pipeline against the reference's near-earth baselines
+(postProcessing.py:18-19).
+"""
+
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes import near_earth_code, wifi_code
+from ldpc_tpu.sim import (BerStatistics, calc_reward, evaluate_code,
+                          evaluate_epsilon_probe, recursive_linear_fit,
+                          snr_db_actual)
+
+
+def test_ber_statistics_roundtrip():
+    st = BerStatistics(100)
+    st.add_entry(3.0, 0.5, 0.51, 10, 2, 7, 50, True)
+    st.add_entry(3.0, 0.5, 0.49, 12, 0, 3, 50, True)
+    st.add_entry(3.5, 0.4, 0.41, 5, 5, 50, 50, False)
+    assert len(st) == 3
+    (s_snr, s_ber, s_itr, axis, avg_snr, ber, avg_itr) = st.get_stats_v2()
+    assert np.array_equal(axis, [3.0, 3.5])
+    np.testing.assert_allclose(ber, [(2 + 0) / (2 * 100), 5 / 100])
+    np.testing.assert_allclose(avg_itr, [5.0, 50.0])
+    assert s_ber.shape == (3,)
+    # realized snr matches the inverse of sigma formula (common.py:152-155)
+    np.testing.assert_allclose(
+        s_snr[0], 10 * np.log10(1 / (2 * 0.51 ** 2)))
+
+
+def test_ber_statistics_union_add_merge():
+    a, b = BerStatistics(10), BerStatistics(10)
+    a.add_entry(3.2, 0.4, 0.4, 1, 1, 5, 50, True)
+    b.add_entry(3.0, 0.5, 0.5, 2, 2, 9, 50, True)
+    u = a.union(b)
+    assert len(u) == 2
+    assert u.column("snr")[0] == 3.0  # union sorts (common.py:167-172)
+    c = a.add(b)
+    assert list(c.column("snr")) == [3.2, 3.0]  # add keeps order
+
+
+def test_ber_statistics_batch_and_fer():
+    st = BerStatistics(100)
+    st.add_batch(np.full(4, 3.0), np.full(4, 0.5), np.full(4, 0.5),
+                 np.array([5, 6, 7, 8]), np.array([0, 0, 3, 0]),
+                 np.array([2, 3, 50, 4]), 50,
+                 np.array([True, True, False, True]))
+    axis, fer = st.frame_error_rate()
+    np.testing.assert_allclose(fer, [0.25])
+    s = st.summary()
+    assert s["transmissions"] == 4
+    np.testing.assert_allclose(s["avg_iterations"], [59 / 4])
+
+
+def test_recursive_linear_fit_drops_below_trend():
+    x = np.array([3.0, 3.2, 3.4, 3.6, 3.8])
+    y = np.array([0.03, 0.02, 0.01, 0.0, 0.0])
+    xs, ys, p, trend, _ = recursive_linear_fit(x, y)
+    assert xs.size <= x.size
+    assert p[0] < 0  # negative slope
+
+
+def test_calc_reward_near_reference_baseline():
+    """Synthetic near-earth-like scatter must land near the reference
+    reward baseline 0.3965 for the 3.0-3.4 sweep (postProcessing.py:19).
+
+    The reference fit on the real code's scatter yields ~= the area of
+    (1 - fitted line); with the reference's BER points the value is close
+    to integrating 1 - linear(BER)."""
+    # reference scatter: four SNR points with the BERs of common.py:112-114
+    snr = np.array([2.9914, 3.1541, 3.3076, 3.4404])
+    ber = np.array([2.354e-2, 1.359e-2, 1.079e-2, 0.0])
+    r = calc_reward(snr, ber, snr_points=[3.0, 3.4])
+    assert abs(r - 0.3965108116285836) < 0.02
+
+
+def test_calc_reward_bad_candidate():
+    assert calc_reward([3.0], [0.5], [3.0, 3.4]) == -2.0
+
+
+def test_evaluate_epsilon_probe_near_earth():
+    """Deterministic probe: the reference's reproducibility entry point
+    (ldpcCUDA.py:677). One flip + small epsilon must decode to zero."""
+    code = near_earth_code()
+    unc, dec, iters, ok = evaluate_epsilon_probe(code, epsilon=1e-2,
+                                                 flips=(0,), max_iters=20)
+    assert unc == 1 and dec == 0 and ok and iters <= 3
+
+
+def test_evaluate_code_waterfall_wifi():
+    """System acceptance a la test_ldpcCUDAdecoder (test_ldpc.py:25):
+    BER must hit zero at the two highest SNR points."""
+    wifi = wifi_code()
+    stats = evaluate_code(wifi, [2.0, 3.5, 4.0], num_transmissions=24,
+                          max_iters=30, batch_size=12, seed=99)
+    (_, _, _, axis, avg_snr, ber, avg_itr) = stats.get_stats_v2()
+    assert ber[-1] == 0 and ber[-2] == 0
+    assert ber[0] > 0
+    assert avg_itr[-1] < avg_itr[0]
+    # realized SNR tracks nominal
+    np.testing.assert_allclose(avg_snr, axis, atol=0.2)
+
+
+def test_evaluate_code_early_abort():
+    wifi = wifi_code()
+    stats = evaluate_code(wifi, [0.0, 3.5, 4.0], num_transmissions=8,
+                          max_iters=10, batch_size=8, seed=5,
+                          early_abort_ber=1e-4)
+    # first point is terrible -> sweep aborts, later points never run
+    assert np.array_equal(stats.snr_points, [0.0])
+
+
+def test_evaluate_code_stats_merge_across_calls():
+    wifi = wifi_code()
+    a = evaluate_code(wifi, [4.0], 8, max_iters=10, batch_size=4, seed=1)
+    b = evaluate_code(wifi, [4.5], 8, max_iters=10, batch_size=4, seed=2)
+    merged = a.union(b)
+    assert len(merged) == 16
+    assert list(merged.snr_points) == [4.0, 4.5]
