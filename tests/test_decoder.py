@@ -205,3 +205,36 @@ def test_max_iters_cap(wifi):
     assert np.array_equal(np.asarray(res.iterations),
                           np.full(4, 5)) or bool(res.success.any())
     assert int(res.iterations.max()) <= 5
+
+
+def test_dynamic_decoder_matches_static(wifi):
+    """The structure-generic decoder (runtime shift tables) must produce
+    identical results to the static-plan decoder, including on a mutated
+    code, WITHOUT recompiling between codes."""
+    from ldpc_tpu.ops.dynamic import dynamic_plan, make_dynamic_decoder
+    key = jax.random.key(2)
+    noisy, _, _ = transmit_zero_codeword(key, 8, wifi.n, 3.5)
+    dec = make_dynamic_decoder(wifi.z, wifi.block_rows, wifi.block_cols,
+                               dmax_cn=24, dmax_vn=6, max_iters=20)
+    res_dyn = dec(dynamic_plan(wifi, 24, 6), noisy)
+    res_sta = decode(wifi, noisy, max_iters=20)
+    assert np.array_equal(np.asarray(res_dyn.hard), np.asarray(res_sta.hard))
+    assert np.array_equal(np.asarray(res_dyn.iterations),
+                          np.asarray(res_sta.iterations))
+    # mutate a circulant: same compiled fn, new plan arrays
+    mutated = wifi.replace_block(0, 0, (3, 77))
+    res_dyn2 = dec(dynamic_plan(mutated, 24, 6), noisy)
+    res_sta2 = decode(mutated, noisy, max_iters=20)
+    assert np.array_equal(np.asarray(res_dyn2.hard),
+                          np.asarray(res_sta2.hard))
+    assert np.array_equal(np.asarray(res_dyn2.iterations),
+                          np.asarray(res_sta2.iterations))
+    assert not np.array_equal(np.asarray(res_dyn2.iterations),
+                              np.asarray(res_dyn.iterations))
+
+
+def test_dynamic_plan_degree_cap_enforced():
+    from ldpc_tpu.ops.dynamic import dynamic_plan
+    code = toy_code()
+    with pytest.raises(ValueError):
+        dynamic_plan(code, dmax_cn=2, dmax_vn=2)
