@@ -1,0 +1,244 @@
+"""The LDPC code-search environment (reference ``LdpcEnv``, TPU-native).
+
+MDP (matching ``gym-ldpc/gym_ldpc/envs/ldpc_env.py``):
+  * state: a QC parity code, starting at CCSDS near-earth
+    (ldpc_env.py:82-90);
+  * observation: circulant first rows bit-packed to 2048 uint8 bytes
+    (``compress``, ldpc_env.py:379-394);
+  * action: 516 bits = [1-bit block row x | 4-bit block col y | 511-bit new
+    circulant first row] (ldpc_env.py:100-104,169-209);
+  * step: functionally replace circulant (x, y), run a Monte-Carlo sweep
+    over SNR [3.0, 3.2, 3.4] x 10 transmissions at 50 iterations
+    (ldpc_env.py:88,110-114), reward = area between 1 and the recursively
+    fitted BER line (ldpc_env.py:319-345);
+  * episode ends when accumulated decode time exceeds the budget
+    (ldpc_env.py:25,260-262); illegal actions score -2.0 without mutating
+    state (ldpc_env.py:120-121).
+
+TPU-native differences (design, not behavior):
+  * the whole (SNR x transmissions) sweep of one step is ONE batched decode
+    on the accelerator — the reference fans it out to 1-4 GPUs via process
+    pools (ldpc_env.py:353-377, ldpcCUDA.py:891-932);
+  * decoding uses the structure-generic dynamic-plan decoder
+    (``ops/dynamic.py``), so mutated codes never recompile — the reference
+    recompiles its CUDA kernels per evaluation under a global lock;
+  * the state is a pure ``QCCode`` value (functional replace), making reset
+    free and the env trivially checkpointable;
+  * actions that would push a block row/col past the compiled degree caps
+    are rejected as illegal (the reference has no such guard because it
+    pays recompilation instead).
+
+``replacement_only`` mode swaps the circulants at two coordinate pairs
+(ldpc_env.py:185-200).  NOTE the reference's implementation reads the
+second circulant from block (xr, xr) instead of (xr, yr) — an indexing bug;
+we implement the documented swap.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..codes import compress, near_earth_code
+from ..codes.qc import QCCode
+from ..sim.reward import BAD_CANDIDATE_REWARD, calc_reward
+from ..sim.stats import BerStatistics
+from .spaces import BinarySpace, Uint8Space
+
+__all__ = ["LdpcCodeSearchEnv", "DEFAULT_SNR_POINTS",
+           "DEFAULT_NUM_TRANSMISSIONS", "DEFAULT_NUM_ITERATIONS",
+           "DEFAULT_TIME_BUDGET_S"]
+
+DEFAULT_SNR_POINTS = (3.0, 3.2, 3.4)       # ldpc_env.py:88
+DEFAULT_NUM_TRANSMISSIONS = 10             # LDPC_ENV_NUMBER_OF_TRANSMISSIONS
+DEFAULT_NUM_ITERATIONS = 50                # LDPC_ENV_NUMBER_OF_ITERATIONS
+DEFAULT_TIME_BUDGET_S = 640.0              # 64 * numTransmissions, :25
+
+
+class LdpcCodeSearchEnv:
+    """Gym-style env; ``step`` returns (obs, reward, done, info)."""
+
+    metadata = {"render.modes": ["rgb"]}
+
+    def __init__(self,
+                 code: QCCode | None = None,
+                 snr_points=DEFAULT_SNR_POINTS,
+                 num_transmissions: int = DEFAULT_NUM_TRANSMISSIONS,
+                 num_iterations: int = DEFAULT_NUM_ITERATIONS,
+                 seed: int = 7134066,
+                 replacement_only: bool = False,
+                 time_budget_s: float = DEFAULT_TIME_BUDGET_S,
+                 iteration_budget: int | None = None,
+                 dmax_cn_cap: int = 48,
+                 dmax_vn_cap: int = 18,
+                 decoder_kind: str = "min-sum",
+                 decoder_backend: str = "dynamic"):
+        self.reset_value = code if code is not None else near_earth_code()
+        self.state = self.reset_value
+        self.z = self.state.z
+        self.x_bits = max(1, (self.state.block_rows - 1).bit_length())
+        self.y_bits = max(1, (self.state.block_cols - 1).bit_length())
+        self.replacement_only = replacement_only
+        if replacement_only:
+            self.action_bits = 2 * (self.x_bits + self.y_bits)
+        else:
+            self.action_bits = self.x_bits + self.y_bits + self.z
+        self.action_space = BinarySpace(self.action_bits)
+        obs = compress(self.state)
+        self.observation_space = Uint8Space(obs.shape[0])
+
+        self.snr_points = np.asarray(snr_points, np.float64)
+        self.num_transmissions = int(num_transmissions)
+        self.num_iterations = int(num_iterations)
+        self.time_budget_s = float(time_budget_s)
+        self.iteration_budget = iteration_budget
+        self.reward_for_illegal_action = BAD_CANDIDATE_REWARD
+        self.dmax_cn_cap = int(dmax_cn_cap)
+        self.dmax_vn_cap = int(dmax_vn_cap)
+        self.decoder_kind = decoder_kind
+        self.decoder_backend = decoder_backend
+        self.rng = np.random.RandomState(seed)
+        self.seed_value = seed
+
+        self.accumulated_evaluation_time = 0.0
+        self.accumulated_iterations = 0
+        self.ber_stats = BerStatistics(self.state.n)
+        self.scatter_snr = self.snr_points.copy()
+        self.scatter_ber = np.ones(len(self.snr_points))
+        self.observed_state = obs
+        self._decode_cache = {}
+
+    # ------------------------------------------------------------------
+    def _decode_batched(self, code: QCCode, llr):
+        """One batched decode of all (snr x transmission) words."""
+        import jax.numpy as jnp
+
+        if self.decoder_backend == "dynamic":
+            from ..ops.dynamic import dynamic_plan, make_dynamic_decoder
+            dec = make_dynamic_decoder(
+                code.z, code.block_rows, code.block_cols,
+                self.dmax_cn_cap, self.dmax_vn_cap, self.num_iterations,
+                kind=self.decoder_kind)
+            plan = dynamic_plan(code, self.dmax_cn_cap, self.dmax_vn_cap)
+            return dec(plan, jnp.asarray(llr))
+        from ..ops.decoder import decoder_for_code
+        return decoder_for_code(code, self.num_iterations,
+                                kind=self.decoder_kind)(jnp.asarray(llr))
+
+    def _degrees_ok(self, code: QCCode) -> bool:
+        return (max(code.row_degrees()) <= self.dmax_cn_cap and
+                max(code.col_degrees()) <= self.dmax_vn_cap)
+
+    def evaluate_code(self) -> BerStatistics:
+        """Monte-Carlo evaluate the current state (ldpc_env.py:353-377)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..sim.channel import awgn
+
+        t0 = time.time()
+        t = self.num_transmissions
+        snr_per_word = np.repeat(self.snr_points, t)
+        b = snr_per_word.shape[0]
+        key = jax.random.key(int(self.rng.randint(0, 2 ** 31 - 1)))
+        clean = jnp.full((b, self.state.n), -1.0, jnp.float32)
+        noisy, sigma, sigma_actual = awgn(
+            key, clean, jnp.asarray(snr_per_word, jnp.float32))
+        res = self._decode_batched(self.state, noisy)
+        errs_unc = np.asarray((np.asarray(noisy) > 0).sum(axis=1))
+        errs_dec = np.asarray(res.hard, np.int64).sum(axis=1)
+        stats = BerStatistics(self.state.n)
+        stats.add_batch(snr=snr_per_word, sigma=np.asarray(sigma),
+                        sigma_actual=np.asarray(sigma_actual),
+                        errors_uncoded=errs_unc, errors_decoded=errs_dec,
+                        iterations=np.asarray(res.iterations),
+                        max_iterations=self.num_iterations,
+                        success=np.asarray(res.success))
+        self.accumulated_evaluation_time += time.time() - t0
+        self.accumulated_iterations += int(np.asarray(res.iterations).sum())
+        return stats
+
+    # ------------------------------------------------------------------
+    def _split_action(self, action):
+        action = np.asarray(action).reshape(-1)
+        if action.shape[0] != self.action_bits:
+            raise ValueError(
+                f"action must have {self.action_bits} bits, got "
+                f"{action.shape[0]}")
+        xb, yb = self.x_bits, self.y_bits
+        # big-endian bit packing, matching xCoordinateBinaryToInt =
+        # flipud(2**arange) (ldpc_env.py:116-117)
+        x = int(action[:xb] @ (2 ** np.arange(xb)[::-1]))
+        y = int(action[xb:xb + yb] @ (2 ** np.arange(yb)[::-1]))
+        rest = action[xb + yb:]
+        return x, y, rest
+
+    def step(self, action):
+        x, y, rest = self._split_action(action)
+        legal = x < self.state.block_rows and y < self.state.block_cols
+        candidate = None
+        if legal:
+            if self.replacement_only:
+                xr = int(rest[:self.x_bits] @
+                         (2 ** np.arange(self.x_bits)[::-1]))
+                yr = int(rest[self.x_bits:] @
+                         (2 ** np.arange(self.y_bits)[::-1]))
+                legal = (xr < self.state.block_rows and
+                         yr < self.state.block_cols)
+                if legal:
+                    a = self.state.shifts[x][y]
+                    bshifts = self.state.shifts[xr][yr]
+                    candidate = self.state.replace_block(
+                        x, y, bshifts).replace_block(xr, yr, a)
+            else:
+                candidate = self.state.replace_block(x, y, rest)
+            if candidate is not None and not self._degrees_ok(candidate):
+                legal, candidate = False, None
+
+        if legal and candidate is not None:
+            self.state = candidate
+            self.ber_stats = self.evaluate_code()
+            (scatter_snr, scatter_ber, _, _, _, ber_data,
+             _) = self.ber_stats.get_stats_v2()
+            self.scatter_snr, self.scatter_ber = scatter_snr, scatter_ber
+            self.ber_points = ber_data
+            reward = calc_reward(scatter_snr, scatter_ber, self.snr_points)
+        else:
+            reward = self.reward_for_illegal_action
+
+        done = self.accumulated_evaluation_time > self.time_budget_s
+        if self.iteration_budget is not None:
+            done = done or (self.accumulated_iterations >
+                            self.iteration_budget)
+        self.observed_state = compress(self.state)
+        info = {
+            "legal": legal,
+            "accumulated_evaluation_time": self.accumulated_evaluation_time,
+            "accumulated_iterations": self.accumulated_iterations,
+        }
+        return self.observed_state, float(reward), bool(done), info
+
+    def reset(self):
+        self.state = self.reset_value
+        self.observed_state = compress(self.state)
+        self.ber_points = np.ones(len(self.snr_points))
+        self.accumulated_evaluation_time = 0.0
+        self.accumulated_iterations = 0
+        return self.observed_state
+
+    def render(self, mode="rgb", close=False):
+        return None
+
+    def seed(self, seed=None):
+        self.rng = np.random.RandomState(seed)
+        return [seed]
+
+    # convenience accessors mirroring the reference codec entry points
+    def compress(self) -> np.ndarray:
+        return compress(self.state)
+
+    def uncompress(self, observation) -> QCCode:
+        from ..codes import uncompress
+        return uncompress(observation, self.state.block_rows,
+                          self.state.block_cols, self.z)

