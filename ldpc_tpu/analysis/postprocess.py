@@ -1,0 +1,100 @@
+"""Post-hoc experiment analysis (reference ``postProcessing.py``).
+
+* ``post_mortem_best_codes`` — re-evaluate the best codes found during an
+  experiment by uncompressing the logged observations and running a fresh
+  Monte-Carlo sweep (postProcessing.py:27-49; the decode goes through the
+  batched TPU sweep instead of ``ldpcCUDA.evaluateCodeCuda``).
+* ``action_heatmaps`` — per-epoch histograms of the i/j/k action choices
+  (postProcessing.py:54-160), as arrays + optional seaborn heatmap PNGs.
+
+Reads the ``steps.tsv`` written by ``ldpc_tpu.rl.ppo`` (columns: epoch,
+step, reward, i, j, k, observation_hex).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+from ..codes import uncompress
+from ..sim.evaluate import evaluate_code
+
+__all__ = ["post_mortem_best_codes", "action_heatmaps",
+           "REWARD_FOR_NEAR_EARTH_3_0_TO_3_8",
+           "REWARD_FOR_NEAR_EARTH_3_0_TO_3_4", "POST_MORTEM_SNR_POINTS"]
+
+# Reference reward baselines (postProcessing.py:18-19)
+REWARD_FOR_NEAR_EARTH_3_0_TO_3_8 = 0.7958451612664468
+REWARD_FOR_NEAR_EARTH_3_0_TO_3_4 = 0.3965108116285836
+POST_MORTEM_SEED = 42 + 61017406 + 1         # postProcessing.py:21
+POST_MORTEM_SNR_POINTS = (3.0, 3.2, 3.4, 3.6)
+POST_MORTEM_NUM_TRANSMISSIONS = 30
+POST_MORTEM_NUM_ITERATIONS = 50
+
+
+def _read_steps(file_path):
+    import pandas as pd
+    # observation_hex must stay a string (an all-digit hex blob would
+    # otherwise be parsed as a huge integer)
+    return pd.read_csv(file_path, sep="\t",
+                       dtype={"observation_hex": str})
+
+
+def post_mortem_best_codes(file_path, block_rows: int = 2,
+                           block_cols: int = 16, z: int = 511,
+                           snr_points=POST_MORTEM_SNR_POINTS,
+                           num_transmissions=POST_MORTEM_NUM_TRANSMISSIONS,
+                           max_iters=POST_MORTEM_NUM_ITERATIONS,
+                           max_codes: int = 20,
+                           seed: int = POST_MORTEM_SEED):
+    """Re-evaluate every distinct best-reward code of an experiment.
+
+    Returns a list of (code, BerStatistics)."""
+    df = _read_steps(file_path)
+    best = df[df["reward"] >= df["reward"].max()]
+    unique_obs = best["observation_hex"].unique()[:max_codes]
+    results = []
+    for hx in unique_obs:
+        observation = np.frombuffer(bytes.fromhex(hx), np.uint8)
+        code = uncompress(observation, block_rows, block_cols, z)
+        stats = evaluate_code(code, list(snr_points), num_transmissions,
+                              max_iters, seed=seed)
+        results.append((code, stats))
+    return results
+
+
+def action_heatmaps(file_path, out_dir=None, save_figures: bool = False):
+    """Per-epoch action histograms for the i/j/k heads.
+
+    Returns {"i": [n_values, n_epochs], "j": ..., "k": ...} count arrays
+    normalized by epoch length; optionally writes heatMapI/J/K.png next to
+    the TSV (postProcessing.py:84-160)."""
+    df = _read_steps(file_path)
+    epochs = np.sort(df["epoch"].unique())
+    epoch_len = max(1, len(df) // max(1, len(epochs)))
+    out = {}
+    for col in ("i", "j", "k"):
+        values = np.sort(df[col].unique())
+        grid = np.zeros((len(values), len(epochs)))
+        for e_idx, e in enumerate(epochs):
+            sub = df[df["epoch"] == e][col]
+            for v_idx, v in enumerate(values):
+                grid[v_idx, e_idx] = (sub == v).sum()
+        out[col] = grid / epoch_len
+        if save_figures:
+            import matplotlib
+            matplotlib.use("Agg", force=False)
+            import matplotlib.pyplot as plt
+            import seaborn as sns
+            fig, ax = plt.subplots(
+                figsize=(max(4, len(epochs)), max(3, len(values))))
+            sns.heatmap(out[col], linewidth=1, annot=True, ax=ax,
+                        yticklabels=values, xticklabels=epochs)
+            ax.set_title(f"HeatMap of choices of {col}")
+            target = pathlib.Path(out_dir or
+                                  pathlib.Path(file_path).parent)
+            fig.savefig(target / f"heatMap{col.upper()}.png", dpi=110,
+                        bbox_inches="tight")
+            plt.close(fig)
+    return out

@@ -1,0 +1,92 @@
+"""Training entry point + multi-chip dry run.
+
+``main`` is the ``python openAIppo.py`` equivalent (openAIppo.py:546-576)
+with argparse defaults matching the reference CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import ActorCriticConfig, init_params
+from .ppo import PPOConfig, make_update_fns, ppo
+
+__all__ = ["main", "dryrun_train_step"]
+
+
+def dryrun_train_step(mesh) -> None:
+    """One PPO policy + value update on tiny shapes, batch sharded over
+    the mesh (called by __graft_entry__.dryrun_multichip)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    ndev = int(np.prod(list(mesh.shape.values())))
+    cfg = ActorCriticConfig(obs_dim=64, hidden=16, row_range=2, col_range=4,
+                            z=31, max_hot=3)
+    ppo_cfg = PPOConfig(steps_per_epoch=2 * ndev)
+    actor_params, critic_params = init_params(cfg, seed=0)
+    pi_opt, vf_opt, pi_update, v_update = make_update_fns(
+        cfg, ppo_cfg, mesh=mesh)
+    pi_state, vf_state = pi_opt.init(actor_params), vf_opt.init(critic_params)
+
+    b = 2 * ndev
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    key = jax.random.key(0)
+    obs = jax.device_put(
+        jax.random.uniform(key, (b, cfg.obs_dim)), data)
+    act = jax.device_put(jnp.concatenate([
+        jnp.zeros((b, 2), jnp.int32),
+        jnp.ones((b, 1), jnp.int32),
+        jnp.zeros((b, cfg.max_hot), jnp.int32)], axis=-1), data)
+    adv = jax.device_put(jnp.ones((b,), jnp.float32), data)
+    ret = jax.device_put(jnp.ones((b,), jnp.float32), data)
+    logp = jax.device_put(jnp.full((b,), -3.0, jnp.float32), data)
+
+    actor_params, pi_state, extras = pi_update(
+        actor_params, pi_state, obs, act, adv, logp)
+    critic_params, vf_state, v_l = v_update(critic_params, vf_state, obs,
+                                            ret)
+    jax.block_until_ready((extras["kl"], v_l))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="PPO code search (openAIppo.py equivalent)")
+    parser.add_argument("--hid", type=int, default=64)
+    parser.add_argument("--gamma", type=float, default=0.99)
+    parser.add_argument("--seed", "-s", type=int, default=30)
+    parser.add_argument("--steps", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--entropyCoefficient", type=float, default=0.01)
+    parser.add_argument("--policyCoefficient", type=float, default=1.0)
+    parser.add_argument("--exp_name", type=str, default="ppo")
+    parser.add_argument("--data_dir", type=str,
+                        default=f"/tmp/experiments/{int(time.time())}")
+    parser.add_argument("--num_transmissions", type=int, default=10)
+    args = parser.parse_args(argv)
+
+    from ..envs.code_search import LdpcCodeSearchEnv
+    from ..utils.logging import EpochLogger
+
+    ppo_cfg = PPOConfig(
+        steps_per_epoch=args.steps, epochs=args.epochs, gamma=args.gamma,
+        seed=args.seed, entropy_coefficient=args.entropyCoefficient,
+        policy_coefficient=args.policyCoefficient)
+    logger = EpochLogger(
+        output_dir=f"{args.data_dir}/{args.exp_name}/"
+                   f"{args.exp_name}_s{args.seed}",
+        exp_name=args.exp_name)
+    return ppo(lambda: LdpcCodeSearchEnv(
+        seed=args.seed, num_transmissions=args.num_transmissions),
+        ppo_cfg, logger=logger,
+        checkpoint_dir=f"{args.data_dir}/{args.exp_name}/checkpoints")
+
+
+if __name__ == "__main__":
+    main()
