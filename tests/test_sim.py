@@ -120,3 +120,32 @@ def test_evaluate_code_stats_merge_across_calls():
     merged = a.union(b)
     assert len(merged) == 16
     assert list(merged.snr_points) == [4.0, 4.5]
+
+
+def test_staged_decode_exactness():
+    """Two-phase decode must be bit-identical to single-pass decode
+    (errors, iterations, success per word)."""
+    import jax
+    from ldpc_tpu.ops import decode
+    from ldpc_tpu.sim import transmit_zero_codeword
+    from ldpc_tpu.sim.evaluate import staged_decode_counts
+    wifi = wifi_code()
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(4), 24, wifi.n, 2.2)
+    ref = decode(wifi, noisy, max_iters=25)
+    e, it, ok = staged_decode_counts(wifi, noisy, 25, phase1_iters=4,
+                                     pad_to=8)
+    assert np.array_equal(e, np.asarray(ref.hard, np.int64).sum(1))
+    assert np.array_equal(it, np.asarray(ref.iterations))
+    assert np.array_equal(ok, np.asarray(ref.success))
+
+
+def test_evaluate_code_staged_matches_direct():
+    wifi = wifi_code()
+    a = evaluate_code(wifi, [2.5, 4.0], 16, max_iters=20, batch_size=8,
+                      seed=42)
+    b = evaluate_code(wifi, [2.5, 4.0], 16, max_iters=20, batch_size=8,
+                      seed=42, staged=True, phase1_iters=4)
+    (_, _, _, ax_a, _, ber_a, itr_a) = a.get_stats_v2()
+    (_, _, _, ax_b, _, ber_b, itr_b) = b.get_stats_v2()
+    np.testing.assert_allclose(ber_a, ber_b)
+    np.testing.assert_allclose(itr_a, itr_b)
