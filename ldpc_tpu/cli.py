@@ -1,0 +1,152 @@
+"""Command-line entry points.
+
+``python -m ldpc_tpu.cli <command>`` replaces the reference's pattern of
+runnable modules (``python ldpc.py`` -> testNearEarth, ``python
+ldpcCUDA.py`` -> GPU benchmark, ``python randomAgent.py``, ``python
+testMatricesGeneratorScript.py``, ``python gettingStarted.py``):
+
+  evaluate     BER/FER sweep of a code on the accelerator
+  probe        deterministic epsilon/bit-flip probe (ldpcCUDA.py:677)
+  random-agent random code-search baseline
+  perturb      write the zeroed-circulant robustness suite
+  train        PPO code search (openAIppo.py equivalent)
+  getting-started  environment sanity check (gettingStarted.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_code(name: str):
+    from .codes import near_earth_code, wifi_code
+    if name in ("near-earth", "nearearth", "ccsds"):
+        return near_earth_code()
+    if name in ("wifi", "802.11n"):
+        return wifi_code()
+    from .codes import load_code_json
+    return load_code_json(name)
+
+
+def cmd_evaluate(args):
+    from .sim import evaluate_code
+    code = _get_code(args.code)
+    stats = evaluate_code(
+        code, args.snr, args.transmissions, args.iterations,
+        seed=args.seed, batch_size=args.batch_size, kind=args.kind,
+        staged=not args.no_staged, verbose=True)
+    print(json.dumps(stats.summary()))
+    if args.plot:
+        from .analysis import plot_snr_vs_ber
+        (_, _, _, axis, _, ber, _) = stats.get_stats_v2()
+        plot_snr_vs_ber(axis, ber, file_name=args.plot)
+        print(f"wrote {args.plot}", file=sys.stderr)
+
+
+def cmd_probe(args):
+    from .sim import evaluate_epsilon_probe
+    code = _get_code(args.code)
+    unc, dec, iters, ok = evaluate_epsilon_probe(
+        code, epsilon=args.epsilon, flips=tuple(args.flips),
+        max_iters=args.iterations)
+    print(json.dumps({"errors_uncoded": unc, "errors_decoded": dec,
+                      "iterations": iters, "success": ok}))
+
+
+def cmd_random_agent(args):
+    from .envs import LdpcCodeSearchEnv
+    from .rl import run_random_agent
+    env = LdpcCodeSearchEnv(code=_get_code(args.code),
+                            num_transmissions=args.transmissions,
+                            seed=args.seed)
+    rewards, env = run_random_agent(env, num_steps=args.steps,
+                                    seed=args.seed)
+    print(json.dumps({"rewards": rewards}))
+
+
+def cmd_perturb(args):
+    from .codes import write_suite
+    code = _get_code(args.code)
+    names = write_suite(code, args.out)
+    print(json.dumps({"written": len(names), "dir": args.out}))
+
+
+def cmd_train(args):
+    from .rl.train import main as train_main
+    train_main(args.rest)
+
+
+def cmd_getting_started(args):
+    """Environment sanity walk-through (gettingStarted.py equivalent)."""
+    import jax
+    print(f"jax {jax.__version__}; devices: {jax.devices()}")
+    from .codes import near_earth_code, wifi_code
+    ne = near_earth_code()
+    print(f"near-earth: ({ne.n}, {ne.k}), {ne.block_rows}x"
+          f"{ne.block_cols} blocks of Z={ne.z}")
+    from .sim import evaluate_epsilon_probe
+    unc, dec, iters, ok = evaluate_epsilon_probe(wifi_code(), flips=(0,),
+                                                 max_iters=10)
+    status = "OK" if (ok and dec == 0) else "FAILED"
+    print(f"decoder smoke test (1 flip on 802.11n): {status} "
+          f"({iters} iterations)")
+    try:
+        from . import native
+        print(f"native C++ engine: "
+              f"{'available' if native.available() else 'unavailable'}")
+    except Exception as e:
+        print(f"native C++ engine: unavailable ({e})")
+    print("ready — see README.md for the API tour")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ldpc_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    e = sub.add_parser("evaluate", help="BER/FER sweep")
+    e.add_argument("--code", default="near-earth")
+    e.add_argument("--snr", type=float, nargs="+",
+                   default=[3.0, 3.2, 3.4, 3.6])
+    e.add_argument("--transmissions", type=int, default=50)
+    e.add_argument("--iterations", type=int, default=50)
+    e.add_argument("--seed", type=int, default=7134066)
+    e.add_argument("--batch-size", type=int, default=1024)
+    e.add_argument("--kind", default="min-sum")
+    e.add_argument("--no-staged", action="store_true")
+    e.add_argument("--plot", default=None)
+    e.set_defaults(fn=cmd_evaluate)
+
+    pr = sub.add_parser("probe", help="deterministic epsilon probe")
+    pr.add_argument("--code", default="near-earth")
+    pr.add_argument("--epsilon", type=float, default=1e-2)
+    pr.add_argument("--flips", type=int, nargs="*", default=[0])
+    pr.add_argument("--iterations", type=int, default=50)
+    pr.set_defaults(fn=cmd_probe)
+
+    ra = sub.add_parser("random-agent", help="random-search baseline")
+    ra.add_argument("--code", default="near-earth")
+    ra.add_argument("--steps", type=int, default=10)
+    ra.add_argument("--transmissions", type=int, default=10)
+    ra.add_argument("--seed", type=int, default=42)
+    ra.set_defaults(fn=cmd_random_agent)
+
+    pe = sub.add_parser("perturb", help="zeroed-circulant suite")
+    pe.add_argument("--code", default="near-earth")
+    pe.add_argument("--out", default="/tmp/ldpc_tpu_test_matrices")
+    pe.set_defaults(fn=cmd_perturb)
+
+    tr = sub.add_parser("train", help="PPO code search")
+    tr.add_argument("rest", nargs=argparse.REMAINDER)
+    tr.set_defaults(fn=cmd_train)
+
+    gs = sub.add_parser("getting-started", help="environment sanity check")
+    gs.set_defaults(fn=cmd_getting_started)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

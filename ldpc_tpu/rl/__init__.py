@@ -5,6 +5,7 @@ from .model import (Actor, ActorCriticConfig, Critic, action_to_env_action,
 from .buffer import BufferContainer, PPOBuffer, discount_cumsum
 from .ppo import PPOConfig, make_update_fns, ppo
 from .random_agent import run_random_agent
+from .vpg import VPGConfig, vpg
 
 __all__ = [
     "Actor", "ActorCriticConfig", "Critic", "action_to_env_action",
@@ -12,4 +13,5 @@ __all__ = [
     "BufferContainer", "PPOBuffer", "discount_cumsum",
     "PPOConfig", "make_update_fns", "ppo",
     "run_random_agent",
+    "VPGConfig", "vpg",
 ]
