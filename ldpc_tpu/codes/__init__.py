@@ -13,6 +13,7 @@ from .ccsds import (near_earth_code, near_earth_generator_dense,
 from .wifi import WIFI_1944_81_RATE_5_6, from_prototype, wifi_code
 from .codec import compress, observation_bytes, uncompress
 from .perturb import zero_circulant, zeroed_circulant_suite, write_suite
+from .encode import encode, encoder_for_code, make_encoder
 
 __all__ = [
     "QCCode", "edges_by_block_col", "edges_by_block_row",
@@ -25,4 +26,5 @@ __all__ = [
     "WIFI_1944_81_RATE_5_6", "from_prototype", "wifi_code",
     "compress", "uncompress", "observation_bytes",
     "zero_circulant", "zeroed_circulant_suite", "write_suite",
+    "encode", "encoder_for_code", "make_encoder",
 ]

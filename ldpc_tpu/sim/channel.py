@@ -85,6 +85,14 @@ def transmit_zero_codeword(key: jax.Array, batch: int, n: int, snr_db):
     return awgn(key, clean, snr_db)
 
 
+def transmit_codewords(key: jax.Array, codewords, snr_db):
+    """BPSK + AWGN for explicit codewords (the reference's G-based path,
+    ldpc.py:409-416: encode, modulate, add noise).
+
+    Returns (noisy, sigma, sigma_actual)."""
+    return awgn(key, modulate(codewords), snr_db)
+
+
 def epsilon_probe(n: int, flips=(0,), epsilon: float = 0.0) -> jax.Array:
     """Deterministic probe: modulated all-zero word with sign-flipped bits.
 
