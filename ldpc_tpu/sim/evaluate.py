@@ -185,6 +185,7 @@ def evaluate_code(code: QCCode,
                   phase1_iters: int = 12,
                   early_abort_ber: float | None = None,
                   stats: BerStatistics | None = None,
+                  checkpoint_path=None,
                   verbose: bool = False) -> BerStatistics:
     """Run a full SNR sweep; returns mergeable BerStatistics.
 
@@ -196,6 +197,11 @@ def evaluate_code(code: QCCode,
     :func:`staged_decode_counts`) — bit-identical statistics, ~3x faster
     at operating SNRs.
 
+    ``checkpoint_path``: save the accumulated statistics after every SNR
+    point and, on restart, resume by skipping points already completed
+    with at least ``num_transmissions`` words (the reference has no sweep
+    resume, SURVEY.md §5).
+
     The default seed matches the reference's global PRNG seed
     (``LDPC_LOCAL_PRNG``, ldpc.py:24) in spirit; statistics agree within
     Monte-Carlo error, not sample-for-sample (different PRNG family).
@@ -205,9 +211,18 @@ def evaluate_code(code: QCCode,
     else:
         step = sweep_step(code, max_iters, kind=kind, scale_llr=scale_llr,
                           dtype=dtype)
-    stats = stats if stats is not None else BerStatistics(code.n)
+    if stats is None:
+        import os
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            stats = BerStatistics.load(checkpoint_path)
+        else:
+            stats = BerStatistics(code.n)
     root = jax.random.key(seed)
     for s_idx, snr in enumerate(snr_points):
+        already = stats.column("weight")[
+            stats.column("snr") == snr].sum() if len(stats) else 0
+        if already >= num_transmissions:
+            continue  # resumed past this point
         t0 = time.time()
         done_words = 0
         point_errs = 0
@@ -247,6 +262,8 @@ def evaluate_code(code: QCCode,
             print(f"[evaluate] snr {snr}: {dt:.3f}s, "
                   f"{bits / dt:,.0f} bit/s decoded, "
                   f"BER {point_errs / bits:.3e}")
+        if checkpoint_path is not None:
+            stats.save(checkpoint_path)
         if early_abort_ber is not None:
             ber = point_errs / (num_transmissions * code.n)
             if ber > early_abort_ber:

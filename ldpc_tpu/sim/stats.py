@@ -205,6 +205,21 @@ class BerStatistics:
             idx, self.column("frame_errors").astype(np.float64), k) / count
         return snr_axis, fer
 
+    # --- persistence (resumable sweeps; the reference has none,
+    # SURVEY.md §5 checkpoint/resume) ----------------------------------
+    def save(self, path) -> None:
+        """Write all columns to an .npz for sweep checkpoint/resume."""
+        np.savez(path, codeword_size=np.int64(self.codeword_size),
+                 **{f: self.column(f) for f in _FIELDS})
+
+    @staticmethod
+    def load(path) -> "BerStatistics":
+        with np.load(path) as data:
+            out = BerStatistics(int(data["codeword_size"]))
+            for f in _FIELDS:
+                out._cols[f] = [np.asarray(data[f])]
+        return out
+
     def summary(self) -> dict:
         """Aggregate dict used by loggers and the bench harness."""
         (_, _, _, snr_axis, avg_snr, ber, avg_itr) = self.get_stats_v2()

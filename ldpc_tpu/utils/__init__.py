@@ -7,6 +7,7 @@ from .config import (DecoderConfig, EnvConfig, FrameworkConfig, SimConfig,
                      load_config, save_config)
 from .experiment import (DEFAULT_DATA_DIR, ExperimentGrid,
                          setup_logger_kwargs)
+from .profiling import ThroughputTimer, device_roofline, trace
 
 __all__ = [
     "EpochLogger", "TsvLogger", "colorize", "statistics_scalar",
@@ -14,4 +15,5 @@ __all__ = [
     "DecoderConfig", "EnvConfig", "FrameworkConfig", "SimConfig",
     "load_config", "save_config",
     "DEFAULT_DATA_DIR", "ExperimentGrid", "setup_logger_kwargs",
+    "ThroughputTimer", "device_roofline", "trace",
 ]

@@ -149,3 +149,40 @@ def test_evaluate_code_staged_matches_direct():
     (_, _, _, ax_b, _, ber_b, itr_b) = b.get_stats_v2()
     np.testing.assert_allclose(ber_a, ber_b)
     np.testing.assert_allclose(itr_a, itr_b)
+
+
+def test_stats_save_load_roundtrip(tmp_path):
+    st = BerStatistics(50)
+    st.add_entry(3.0, 0.5, 0.5, 3, 1, 7, 50, True)
+    st.save(tmp_path / "s.npz")
+    back = BerStatistics.load(tmp_path / "s.npz")
+    assert back.codeword_size == 50 and len(back) == 1
+    np.testing.assert_allclose(back.column("errors_decoded"), [1])
+
+
+def test_evaluate_code_checkpoint_resume(tmp_path):
+    """Interrupted sweep resumes by skipping completed SNR points."""
+    wifi = wifi_code()
+    ckpt = tmp_path / "sweep.npz"
+    a = evaluate_code(wifi, [3.5], 8, max_iters=10, batch_size=4, seed=1,
+                      checkpoint_path=ckpt)
+    assert ckpt.exists()
+    # "restart": same call with an extra point only runs the new point
+    b = evaluate_code(wifi, [3.5, 4.0], 8, max_iters=10, batch_size=4,
+                      seed=1, checkpoint_path=ckpt)
+    assert len(b) == 16
+    assert list(b.snr_points) == [3.5, 4.0]
+    # the 3.5-point rows are the checkpointed originals
+    np.testing.assert_allclose(
+        np.sort(b.column("errors_decoded")[b.column("snr") == 3.5]),
+        np.sort(a.column("errors_decoded")))
+
+
+def test_throughput_timer_and_roofline():
+    from ldpc_tpu.utils.profiling import ThroughputTimer, device_roofline
+    t = ThroughputTimer()
+    with t.span(bits=100):
+        pass
+    assert t.spans == 1 and t.total_bits == 100
+    info = device_roofline()
+    assert "device_kind" in info
