@@ -79,15 +79,19 @@ def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
             iters[redo] = it2[redo]
             success[redo] = ok2[redo]
         else:
+            # Fixed-size chunks: exactly ONE phase-2 batch shape ever
+            # compiles (variable padding would trigger a recompile per
+            # new failure count).
             chunk = min(pad_to, b)
-            padded = int(np.ceil(failed.size / chunk) * chunk)
-            idx = np.concatenate(
-                [failed, np.zeros(padded - failed.size, np.int64)])
-            e2, it2, ok2 = jax.device_get(
-                c2(jnp.take(llr, jnp.asarray(idx), axis=0)))
-            errors[failed] = e2[:failed.size]
-            iters[failed] = it2[:failed.size]
-            success[failed] = ok2[:failed.size]
+            for lo in range(0, failed.size, chunk):
+                part = failed[lo:lo + chunk]
+                idx = np.concatenate(
+                    [part, np.zeros(chunk - part.size, np.int64)])
+                e2, it2, ok2 = jax.device_get(
+                    c2(jnp.take(llr, jnp.asarray(idx), axis=0)))
+                errors[part] = e2[:part.size]
+                iters[part] = it2[:part.size]
+                success[part] = ok2[:part.size]
     return errors, iters, success
 
 
