@@ -34,19 +34,23 @@ def main():
 
     # Staged decode: identical per-word semantics to a straight 50-iter
     # decode (see sim/evaluate.staged_decode_counts), stragglers don't
-    # stall the batch.  float32 matches the reference's GPU precision;
-    # bfloat16 measures ~1.5x faster with statistically equivalent BER but
-    # its full-batch compile is unreliable on this toolchain — opt in via
-    # LDPC_TPU_BENCH_DTYPE=bfloat16.
+    # stall the batch.  The default engine is the VMEM-resident unrolled
+    # Pallas kernel (ops/pallas_static.py; bf16 state, f32 arithmetic) —
+    # statistically equivalent BER to the f32 XLA path (converged words
+    # match it exactly) at a large throughput multiple.  Fall back with
+    # LDPC_TPU_BENCH_ENGINE=xla / LDPC_TPU_BENCH_DTYPE=float32.
     import os
     transmit = _transmit_fn(code.n, scale_llr=False)
     key = jax.random.key(7134066)
-    dtype = jnp.dtype(os.environ.get("LDPC_TPU_BENCH_DTYPE", "float32"))
+    engine = os.environ.get("LDPC_TPU_BENCH_ENGINE", "pallas")
+    dtype = jnp.dtype(os.environ.get(
+        "LDPC_TPU_BENCH_DTYPE",
+        "bfloat16" if engine == "pallas" else "float32"))
 
     def run(k, snr_arr):
         llr, _, _, _ = transmit(k, snr_arr)
         return staged_decode_counts(code, llr, max_iters, phase1_iters=12,
-                                    pad_to=128, dtype=dtype)
+                                    pad_to=128, dtype=dtype, engine=engine)
 
     # compile once; second key also warms the phase-2 shape
     for w in range(2):

@@ -1,0 +1,312 @@
+"""Fully-unrolled Pallas TPU min-sum decoder with compressed check state.
+
+This is the near-earth-capable successor of ``ops/pallas_decoder.py``'s
+loop-based kernel.  Design notes (all empirically measured on the current
+Mosaic toolchain; history in ROADMAP.md):
+
+* ``tpu.dynamic_rotate`` does not lower for odd sublane counts (z=511) and
+  hangs the compiler even for 512 — but **static** ``pltpu.roll`` on a
+  power-of-two [512, 128] f32 tile compiles in seconds and runs at full
+  VPU speed (~10 ns per rotation; earlier "slow rotate" readings were
+  per-call dispatch overhead of the tunnelled backend).  QC circulant
+  shifts are compile-time constants, so the decoder fully unrolls over
+  block edges with static rotations.  The mod-z rotate on a z-padded-to-zp
+  buffer is exact via two static rolls + an iota select (see ``_rot``).
+* Rotates are 32-bit-only, so arithmetic is float32 throughout; VMEM
+  footprint is cut by **compressed check-node state** instead: min-sum
+  check->variable messages are fully determined by (min1, min2, argmin,
+  sign-product, per-edge signs) per check — the classic hardware-LDPC
+  compression, with per-edge signs bit-packed into one int32 lane per
+  check (degree <= 32).  The loop-based kernel's [S, Z, B] per-edge
+  message stash is never materialised.
+* The Mosaic stack scheduler hoists all unrolled rotations (an extra
+  ~12 MB live set).  That still fits: the default 16 MiB scoped-vmem
+  budget is raised per-compile with ``xla_tpu_scoped_vmem_limit_kib``
+  (a proto-backed XLA flag the TPU compiler honours) — physical VMEM
+  comfortably covers the ~18-22 MB schedules this kernel gets.
+
+Per grid program (one tile of ``tile_b`` codewords, lane axis):
+  phase A (per block row, check frame): rotate totals into check frame,
+    accumulate syndrome parity, reconstruct the previous c2v from the
+    compressed state, form v2c = t - c2v, and fold it into fresh
+    (min1, min2, argmin, signs) SSA registers; the state planes are
+    rewritten only after every old-state read (no double buffer).
+  phase B (per block col, variable frame): reconstruct the new outgoing
+    messages straight from the compressed state — magnitude is min1 (or
+    min2 at the argmin edge), sign is sign_product * edge_sign — rotate
+    each into variable frame and accumulate totals = -channel + sum.
+  convergence: the output refs' latches (success = done flags, iters =
+    first-success iteration, errors = bit errors at first success or at
+    the final pre-update state; ``where(done, keep, errs)`` covers both
+    latch cases in one buffer).  Check runs BEFORE each update and
+    non-converged words report the state after exactly ``max_iters``
+    updates (reference ``decoderMainLoop``, ldpc.py:326-337).  The body
+    is predicated off once the whole tile converged.
+
+Sign conventions follow ``ops/decoder.py`` (inputs negated on entry so the
+sign-product rule is exact for odd-degree checks; reference slicer
+convention ldpc.py:43-48 outside).  Returns per-word (bit errors vs the
+all-zero codeword, iterations, success) like the loop-based kernel.
+
+Equivalence contract vs the XLA decoder (tests/test_pallas_static.py):
+converged words match the XLA decoder exactly on (errors, iterations,
+success); non-converged words may differ by a few bits because totals
+accumulate in a different f32 order (the XLA path reduces the block-col
+axis with ``jnp.sum``; the reference's CPU/CUDA paths differ from each
+other the same way).  BER/FER statistics agree to Monte-Carlo precision.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.qc import QCCode
+from .plan import DecodePlan
+
+__all__ = ["make_static_sweep_decoder", "static_decode_counts"]
+
+_BIG = 3.0e38
+# Scoped-VMEM ceiling handed to the TPU compiler (KiB).  The scheduler's
+# rotation-hoisting schedules need ~18-22 MB > the 16 MiB default.
+_SCOPED_VMEM_KIB = 24 * 1024
+
+
+def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
+                  store_dtype, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    z = plan.z
+    zp = -(-z // 8) * 8          # f32 sublane tile = 8
+    mb_n, nb_n = plan.block_rows, plan.block_cols
+    f32, i32 = jnp.float32, jnp.int32
+    sd = jnp.dtype(store_dtype)
+
+    def _st(x):
+        return x.astype(sd)
+
+    def _ld(x):
+        return x.astype(f32)
+
+    # Static edge tables (Python lists -> fully unrolled kernel code).
+    row_edges = [
+        [(int(plan.cn_nb[mb, d]), int(plan.cn_shift[mb, d]) % z, d)
+         for d in range(plan.dmax_cn) if plan.cn_valid[mb, d]]
+        for mb in range(mb_n)
+    ]
+    col_edges: list[list[tuple[int, int, int]]] = [[] for _ in range(nb_n)]
+    for mb, edges in enumerate(row_edges):
+        for (nb, s, d) in edges:
+            col_edges[nb].append((mb, d, s))
+    if plan.dmax_cn > 32:
+        raise NotImplementedError(
+            f"check degree {plan.dmax_cn} > 32: sign bitmask is int32")
+
+    def _rot(x, s):
+        """roll_z(x, s)[i] = x[(i + s) mod z] on a [zp, tile_b] buffer.
+
+        For zp == z a single static roll suffices.  For zp > z:
+        pltpu.roll(x, zp - s)[i] = x[(i + s) mod zp] which is correct for
+        i + s < z; for i in [z - s, z) the wanted row is x[i + s - z] =
+        pltpu.roll(x, z - s)[i].  Both variants only ever read rows < z,
+        so the pad rows never contaminate live lanes.
+        """
+        s = s % z
+        if s == 0:
+            return x
+        if zp == z:
+            return pltpu.roll(x, zp - s, axis=0)
+        a = pltpu.roll(x, zp - s, axis=0)
+        b = pltpu.roll(x, z - s, axis=0)
+        i_row = jax.lax.broadcasted_iota(i32, (zp, tile_b), 0)
+        return jnp.where(i_row < z - s, a, b)
+
+    def kernel(llr_hbm, errors_hbm, iters_hbm, success_hbm,
+               chan, totals, m1_ref, m2_ref, am_ref, sp_ref, bits_ref,
+               errors_ref, iters_ref, success_ref, dma_sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(llr_hbm.at[i], chan, dma_sem)
+        cp.start()
+        cp.wait()
+        row_lt_z = jax.lax.broadcasted_iota(i32, (zp, tile_b), 0) < z
+        for nb in range(nb_n):
+            totals[nb] = -chan[nb]
+        for mb in range(mb_n):
+            m1_ref[mb] = jnp.zeros((zp, tile_b), sd)    # recon c2v == 0
+            m2_ref[mb] = jnp.zeros((zp, tile_b), sd)
+            am_ref[mb] = jnp.zeros((zp, tile_b), sd)
+            sp_ref[mb] = jnp.ones((zp, tile_b), sd)
+            bits_ref[mb] = jnp.zeros((zp, tile_b), i32)
+        success_ref[...] = jnp.zeros((1, tile_b), i32)          # done
+        iters_ref[...] = jnp.full((1, tile_b), max_iters, i32)
+        errors_ref[...] = jnp.zeros((1, tile_b), i32)
+
+        def body(it, _):
+            all_done = jnp.sum(success_ref[0, :]) == tile_b
+
+            @pl.when(jnp.logical_not(all_done))
+            def _():
+                # ---- phase A: syndrome + new compressed check state ----
+                bad = jnp.zeros((1, tile_b), i32)
+                for mb in range(mb_n):
+                    par = jnp.zeros((zp, tile_b), i32)
+                    m1n = jnp.full((zp, tile_b), f32(_BIG))
+                    m2n = jnp.full((zp, tile_b), f32(_BIG))
+                    amn = jnp.zeros((zp, tile_b), f32)
+                    spn = jnp.ones((zp, tile_b), f32)
+                    bitsn = jnp.zeros((zp, tile_b), i32)
+                    m1o, m2o = _ld(m1_ref[mb]), _ld(m2_ref[mb])
+                    amo, spo = _ld(am_ref[mb]), _ld(sp_ref[mb])
+                    bitso = bits_ref[mb]
+                    for (nb, s, d) in row_edges[mb]:
+                        t = _rot(_ld(totals[nb]), s)
+                        par = par ^ jnp.where(
+                            jnp.logical_and(t < 0, row_lt_z), 1, 0)
+                        # reconstruct previous c2v for this edge
+                        bit_o = (bitso >> d) & 1
+                        sgn_o = spo * (1.0 - 2.0 * bit_o.astype(f32))
+                        mag_o = jnp.where(amo == f32(d), m2o, m1o)
+                        v = t - sgn_o * mag_o
+                        a = jnp.abs(v)
+                        newmin = a < m1n
+                        m2n = jnp.where(newmin, m1n, jnp.minimum(m2n, a))
+                        amn = jnp.where(newmin, f32(d), amn)
+                        m1n = jnp.minimum(m1n, a)
+                        neg = v < 0
+                        bitsn = bitsn | jnp.where(
+                            neg, i32(np.int32(np.uint32(1 << d))), 0)
+                        spn = jnp.where(neg, -spn, spn)
+                    bad = bad | jnp.sum(par, axis=0, keepdims=True)
+                    m1_ref[mb] = _st(m1n)
+                    m2_ref[mb] = _st(m2n)
+                    am_ref[mb] = _st(amn)
+                    sp_ref[mb] = _st(spn)
+                    bits_ref[mb] = bitsn
+                # ---- latches (check BEFORE the update just computed) ----
+                ok = jnp.where(bad == 0, 1, 0)
+                newly = ok * (1 - success_ref[...])
+                iters_ref[...] = jnp.where(newly == 1, it, iters_ref[...])
+                errs = jnp.zeros((1, tile_b), i32)
+                for nb in range(nb_n):
+                    errs = errs + jnp.sum(jnp.where(
+                        jnp.logical_and(_ld(totals[nb]) < 0, row_lt_z),
+                        1, 0), axis=0, keepdims=True)
+                errors_ref[...] = jnp.where(success_ref[...] == 1,
+                                            errors_ref[...], errs)
+                success_ref[...] = success_ref[...] | ok
+                # ---- phase B: totals from compressed state ----
+                for nb in range(nb_n):
+                    tot = -_ld(chan[nb])
+                    for (mb, d, s) in col_edges[nb]:
+                        bit = (bits_ref[mb] >> d) & 1
+                        sgn = _ld(sp_ref[mb]) * (1.0 - 2.0 * bit.astype(f32))
+                        mag = jnp.where(_ld(am_ref[mb]) == f32(d),
+                                        _ld(m2_ref[mb]), _ld(m1_ref[mb]))
+                        tot = tot + _rot(sgn * mag, (z - s) % z)
+                    totals[nb] = _st(tot)
+            return 0
+
+        jax.lax.fori_loop(0, max_iters + 1, body, 0)
+
+        for latch, hbm in ((errors_ref, errors_hbm), (iters_ref, iters_hbm),
+                           (success_ref, success_hbm)):
+            out_cp = pltpu.make_async_copy(
+                latch, hbm.at[:, pl.ds(i * tile_b, tile_b)], dma_sem)
+            out_cp.start()
+            out_cp.wait()
+
+    def call(llr_tiles: jax.Array):
+        # llr_tiles: [nprog, Nb, zp, tile_b] in the storage dtype
+        nprog = llr_tiles.shape[0]
+        b = nprog * tile_b
+        out_shape = [
+            jax.ShapeDtypeStruct((1, b), i32),  # errors
+            jax.ShapeDtypeStruct((1, b), i32),  # iterations
+            jax.ShapeDtypeStruct((1, b), i32),  # success
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(nprog,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nb_n, zp, tile_b), sd),    # chan
+                pltpu.VMEM((nb_n, zp, tile_b), sd),    # totals
+                pltpu.VMEM((mb_n, zp, tile_b), sd),    # m1
+                pltpu.VMEM((mb_n, zp, tile_b), sd),    # m2
+                pltpu.VMEM((mb_n, zp, tile_b), sd),    # argmin
+                pltpu.VMEM((mb_n, zp, tile_b), sd),    # sign product
+                pltpu.VMEM((mb_n, zp, tile_b), i32),   # edge sign bits
+                pltpu.VMEM((1, tile_b), i32),          # errors latch
+                pltpu.VMEM((1, tile_b), i32),          # iters latch
+                pltpu.VMEM((1, tile_b), i32),          # done latch
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_SCOPED_VMEM_KIB * 1024),
+            interpret=interpret,
+        )(llr_tiles)
+
+    return call
+
+
+_CACHE: dict = {}
+
+
+def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
+                              tile_b: int = 128, store_dtype=jnp.bfloat16,
+                              interpret: bool = False):
+    """Build the unrolled fused sweep decoder for a code.
+
+    Returns ``decode_counts(llr[B, n]) -> (errors[B], iterations[B],
+    success[B])`` (jitted).  ``B`` must be a multiple of ``tile_b``
+    (itself a multiple of 128).
+
+    Arithmetic is float32 throughout (rotates are 32-bit-only in the
+    current Mosaic); ``store_dtype`` controls the VMEM-resident state
+    (channel/totals/compressed stats).  bfloat16 (default) halves state;
+    float32 storage also fits near-earth under the raised scoped-vmem
+    ceiling and tracks the XLA decoder's trajectories more closely.
+    """
+    plan = DecodePlan.from_code(code)
+    key = (plan.cache_key(), max_iters, tile_b,
+           jnp.dtype(store_dtype).name, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+    kernel_call = _build_kernel(plan, max_iters, tile_b, store_dtype,
+                                interpret)
+    nb_n, z = plan.block_cols, plan.z
+    zp = -(-z // 8) * 8
+    sd = jnp.dtype(store_dtype)
+
+    opts = (None if interpret else
+            {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)})
+
+    @functools.partial(jax.jit, compiler_options=opts)
+    def decode_counts(llr):
+        b = llr.shape[0]
+        if b % tile_b:
+            raise ValueError(f"batch {b} not a multiple of tile_b={tile_b}")
+        llr_t = jnp.transpose(
+            llr.astype(sd).reshape(b // tile_b, tile_b, nb_n, z),
+            (0, 2, 3, 1))
+        llr_t = jnp.pad(llr_t, ((0, 0), (0, 0), (0, zp - z), (0, 0)))
+        errors, iters, success = kernel_call(llr_t)
+        return errors[0], iters[0], success[0].astype(bool)
+
+    _CACHE[key] = decode_counts
+    return decode_counts
+
+
+def static_decode_counts(code: QCCode, llr, max_iters: int = 50, **kw):
+    """One-shot convenience wrapper."""
+    return make_static_sweep_decoder(code, max_iters, **kw)(jnp.asarray(llr))

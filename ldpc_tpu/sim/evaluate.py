@@ -39,7 +39,7 @@ __all__ = ["evaluate_code", "evaluate_epsilon_probe", "sweep_step",
 def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
                          phase1_iters: int = 12, pad_to: int = 256,
                          kind: str = "min-sum", dtype=jnp.float32,
-                         **decoder_kw):
+                         engine: str = "xla", **decoder_kw):
     """Two-phase decode with EXACTLY the semantics of a single
     ``max_iters`` decode, ~3x faster at operating SNRs.
 
@@ -53,22 +53,28 @@ def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
     CUDA decoder pays the full budget per word serially,
     ldpcCUDA.py:614-645).
 
+    ``engine``: "xla" uses the fused while-loop decoder
+    (``ops/decoder.py``); "pallas" uses the VMEM-resident unrolled kernel
+    (``ops/pallas_static.py``, min-sum only, ~1-2 orders of magnitude
+    faster on TPU hardware; batches are padded to the 128-word tile).
+
     Returns (bit_errors[B], iterations[B], success[B]) as numpy arrays.
     """
     import numpy as np
 
     llr = jnp.asarray(llr)
     b = llr.shape[0]
-    c1 = _counts_fn(code, phase1_iters, kind, jnp.dtype(dtype).name,
-                    tuple(sorted(decoder_kw.items())))
+    make = _engine_counts_fn
+    c1 = make(code, phase1_iters, kind, jnp.dtype(dtype).name, engine,
+              tuple(sorted(decoder_kw.items())))
     e1, it1, ok1 = jax.device_get(c1(llr))
     errors = e1.astype(np.int64)
     iters = it1.copy()
     success = ok1.copy()
     failed = np.flatnonzero(~success)
     if failed.size:
-        c2 = _counts_fn(code, max_iters, kind, jnp.dtype(dtype).name,
-                        tuple(sorted(decoder_kw.items())))
+        c2 = make(code, max_iters, kind, jnp.dtype(dtype).name, engine,
+                  tuple(sorted(decoder_kw.items())))
         if failed.size > 0.25 * b:
             # Below the waterfall most words miss phase 1; re-decoding the
             # whole batch beats gather/pad bookkeeping (and the phase-1
@@ -114,6 +120,38 @@ def _counts_fn(code: QCCode, max_iters: int, kind: str, dtype_name: str,
             res = dec(llr)
             return (jnp.sum(res.hard.astype(jnp.int32), axis=1),
                     res.iterations, res.success)
+
+        _COUNTS_CACHE[key] = fn
+    return fn
+
+
+def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
+                      dtype_name: str, engine: str, kw_key):
+    """Counts backend dispatch: the XLA while-loop decoder or the
+    VMEM-resident Pallas kernel (same (errors, iters, success) contract).
+    """
+    if engine == "xla":
+        return _counts_fn(code, max_iters, kind, dtype_name, kw_key)
+    if engine != "pallas":
+        raise ValueError(f"unknown decode engine: {engine}")
+    if kind != "min-sum":
+        raise ValueError("the pallas engine implements min-sum only")
+    key = ("pallas", id(code), code.name, max_iters, dtype_name)
+    fn = _COUNTS_CACHE.get(key)
+    if fn is None:
+        from ..ops.pallas_static import make_static_sweep_decoder
+        tile = 128
+        dec = make_static_sweep_decoder(code, max_iters, tile_b=tile,
+                                        store_dtype=jnp.dtype(dtype_name))
+
+        def fn(llr):
+            b = llr.shape[0]
+            pad = (-b) % tile
+            if pad:
+                llr = jnp.concatenate(
+                    [llr, jnp.broadcast_to(llr[:1], (pad, llr.shape[1]))])
+            e, it, ok = dec(llr)
+            return e[:b], it[:b], ok[:b]
 
         _COUNTS_CACHE[key] = fn
     return fn
@@ -187,6 +225,7 @@ def evaluate_code(code: QCCode,
                   dtype=jnp.float32,
                   staged: bool = False,
                   phase1_iters: int = 12,
+                  engine: str = "xla",
                   early_abort_ber: float | None = None,
                   stats: BerStatistics | None = None,
                   checkpoint_path=None,
@@ -199,7 +238,9 @@ def evaluate_code(code: QCCode,
 
     ``staged=True`` decodes each batch in two phases (see
     :func:`staged_decode_counts`) — bit-identical statistics, ~3x faster
-    at operating SNRs.
+    at operating SNRs.  ``engine="pallas"`` additionally routes the
+    staged decodes through the VMEM-resident kernel
+    (``ops/pallas_static.py``).
 
     ``checkpoint_path``: save the accumulated statistics after every SNR
     point and, on restart, resume by skipping points already completed
@@ -239,7 +280,7 @@ def evaluate_code(code: QCCode,
                     key, jnp.full((b,), snr, jnp.float32))
                 errs, iters, ok = staged_decode_counts(
                     code, llr, max_iters, phase1_iters=phase1_iters,
-                    kind=kind, dtype=dtype)
+                    kind=kind, dtype=dtype, engine=engine)
                 out = {
                     "errors_uncoded": jax.device_get(unc),
                     "errors_decoded": errs,

@@ -1,0 +1,85 @@
+"""Tests for the fully-unrolled static-rotation Pallas sweep decoder.
+
+Run in interpret mode on the CPU mesh (conftest forces JAX_PLATFORMS=cpu);
+the on-hardware equivalence for near-earth at tile_b=128 is exercised by
+bench.py and was validated manually on the real chip (see
+ops/pallas_static.py docstring for the equivalence contract).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes import near_earth_code, wifi_code
+from ldpc_tpu.ops.decoder import decode
+from ldpc_tpu.ops.pallas_static import make_static_sweep_decoder
+from ldpc_tpu.sim.channel import epsilon_probe, transmit_zero_codeword
+
+
+@pytest.fixture(scope="module")
+def wifi():
+    return wifi_code()
+
+
+def test_static_kernel_matches_decoder_wifi(wifi):
+    """f32 storage, short horizon: trajectories match the XLA decoder
+    exactly (errors, iterations, success), including failed words."""
+    for snr in (1.5, 3.2):
+        noisy, _, _ = transmit_zero_codeword(jax.random.key(9), 8, wifi.n,
+                                             snr)
+        ref = decode(wifi, noisy, max_iters=12)
+        dec = make_static_sweep_decoder(wifi, max_iters=12, tile_b=4,
+                                        store_dtype=jnp.float32,
+                                        interpret=True)
+        errors, iters, success = dec(noisy)
+        assert np.array_equal(np.asarray(ref.hard).sum(axis=1),
+                              np.asarray(errors))
+        assert np.array_equal(np.asarray(ref.iterations), np.asarray(iters))
+        assert np.array_equal(np.asarray(ref.success), np.asarray(success))
+
+
+def test_static_kernel_bf16_statistically_close(wifi):
+    """bf16 storage: converged words agree with the bf16 XLA decoder;
+    batch-level BER within a small tolerance."""
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(3), 8, wifi.n, 2.4)
+    ref = decode(wifi, noisy, max_iters=10, dtype=jnp.bfloat16)
+    dec = make_static_sweep_decoder(wifi, max_iters=10, tile_b=4,
+                                    store_dtype=jnp.bfloat16,
+                                    interpret=True)
+    errors, iters, success = dec(noisy)
+    ref_err = np.asarray(ref.hard).sum(axis=1)
+    conv = np.asarray(success) & np.asarray(ref.success)
+    assert np.array_equal(np.asarray(errors)[conv], ref_err[conv])
+    assert abs(float(np.asarray(errors).sum()) - float(ref_err.sum())) \
+        <= 0.02 * wifi.n * 8 + 16
+
+
+def test_static_kernel_epsilon_probe_deterministic(wifi):
+    """The reference's deterministic probe (single bit flip,
+    ldpc.py:417-418): must correct it in one iteration, zero errors."""
+    probe = jnp.tile(epsilon_probe(wifi.n, flips=(7,)), (4, 1))
+    dec = make_static_sweep_decoder(wifi, max_iters=6, tile_b=4,
+                                    store_dtype=jnp.float32,
+                                    interpret=True)
+    errors, iters, success = dec(probe)
+    ref = decode(wifi, probe, max_iters=6)
+    assert np.asarray(success).all()
+    assert np.array_equal(np.asarray(errors), np.zeros(4, np.int32))
+    assert np.array_equal(np.asarray(iters), np.asarray(ref.iterations))
+
+
+def test_static_kernel_near_earth_small():
+    """Near-earth (z=511, zp=512: exercises the two-roll mod-z fixup) in
+    interpret mode on a tiny batch."""
+    code = near_earth_code()
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(1), 2, code.n, 3.6)
+    ref = decode(code, noisy, max_iters=8)
+    dec = make_static_sweep_decoder(code, max_iters=8, tile_b=2,
+                                    store_dtype=jnp.float32,
+                                    interpret=True)
+    errors, iters, success = dec(noisy)
+    assert np.array_equal(np.asarray(ref.hard).sum(axis=1),
+                          np.asarray(errors))
+    assert np.array_equal(np.asarray(ref.iterations), np.asarray(iters))
+    assert np.array_equal(np.asarray(ref.success), np.asarray(success))
