@@ -36,13 +36,47 @@ def cmd_evaluate(args):
     stats = evaluate_code(
         code, args.snr, args.transmissions, args.iterations,
         seed=args.seed, batch_size=args.batch_size, kind=args.kind,
-        staged=not args.no_staged, verbose=True)
+        staged=not args.no_staged, engine=args.engine, verbose=True)
     print(json.dumps(stats.summary()))
     if args.plot:
         from .analysis import plot_snr_vs_ber
         (_, _, _, axis, _, ber, _) = stats.get_stats_v2()
         plot_snr_vs_ber(axis, ber, file_name=args.plot)
         print(f"wrote {args.plot}", file=sys.stderr)
+
+
+def cmd_bench(args):
+    """Benchmark presets mirroring the reference's in-module self-tests.
+
+    ``near-earth`` reproduces ``ldpc.testNearEarth`` / ``ldpcCUDA.
+    testNearEarth`` (ldpc.py:480-498, ldpcCUDA.py:832-846): roi
+    [3.0, 3.2, 3.4, 3.6] dB, min-sum, 50 iterations, decoded bit/s and
+    per-point BER.  ``wifi`` reproduces ``wifiCUDA.testWifi`` (seed
+    460101, same roi, 50 iterations, status 'OK' iff the BER at the two
+    highest SNR points is zero — wifiCUDA.py:660-682).
+    """
+    import time
+    from .sim import evaluate_code
+    preset = args.preset
+    code = _get_code(preset)
+    seed = 460101 if preset == "wifi" else args.seed
+    t0 = time.time()
+    stats = evaluate_code(
+        code, args.snr, args.transmissions, args.iterations, seed=seed,
+        batch_size=args.batch_size, staged=True, engine=args.engine,
+        verbose=True)
+    dt = time.time() - t0
+    (_, _, _, axis, _, ber, _) = stats.get_stats_v2()
+    status = "OK" if len(ber) >= 2 and ber[-1] == 0 and ber[-2] == 0 \
+        else f"{preset} problem"
+    print(json.dumps({
+        "preset": preset,
+        "throughput_bit_per_s": code.n * len(args.snr)
+        * args.transmissions / dt,
+        "seconds": dt,
+        "ber": {float(s): float(b) for s, b in zip(axis, ber)},
+        "status": status,
+    }))
 
 
 def cmd_probe(args):
@@ -115,8 +149,21 @@ def main(argv=None):
     e.add_argument("--batch-size", type=int, default=1024)
     e.add_argument("--kind", default="min-sum")
     e.add_argument("--no-staged", action="store_true")
+    e.add_argument("--engine", default="xla", choices=["xla", "pallas"])
     e.add_argument("--plot", default=None)
     e.set_defaults(fn=cmd_evaluate)
+
+    be = sub.add_parser("bench", help="reference benchmark presets")
+    be.add_argument("preset", choices=["near-earth", "wifi"])
+    be.add_argument("--snr", type=float, nargs="+",
+                    default=[3.0, 3.2, 3.4, 3.6])
+    be.add_argument("--transmissions", type=int, default=50)
+    be.add_argument("--iterations", type=int, default=50)
+    be.add_argument("--seed", type=int, default=7134066)
+    be.add_argument("--batch-size", type=int, default=1024)
+    be.add_argument("--engine", default="pallas",
+                    choices=["xla", "pallas"])
+    be.set_defaults(fn=cmd_bench)
 
     pr = sub.add_parser("probe", help="deterministic epsilon probe")
     pr.add_argument("--code", default="near-earth")

@@ -22,7 +22,8 @@ import numpy as np
 
 __all__ = ["MLP", "DeterministicActor", "GaussianActor",
            "SquashedGaussianActor", "QCritic", "ValueCritic",
-           "ReplayBuffer", "polyak_update", "PointMassEnv"]
+           "ReplayBuffer", "polyak_update", "PointMassEnv",
+           "GymnasiumAdapter"]
 
 LOG_STD_MIN, LOG_STD_MAX = -20.0, 2.0
 
@@ -191,3 +192,43 @@ class PointMassEnv:
         self.t += 1
         done = self.t >= self.horizon
         return self.state.copy(), float(reward), bool(done), {}
+
+
+class GymnasiumAdapter:
+    """Adapt a gymnasium ``Env`` to the flat API the continuous suite
+    uses (``obs_dim``/``act_dim``/``act_limit`` attributes,
+    ``reset() -> obs``, ``step(a) -> (obs2, r, done, info)``).
+
+    The vendored Spinning Up algorithms consumed classic gym 0.15 envs
+    (spinup core / ddpg.py etc.); gymnasium changed reset/step signatures
+    (5-tuple step, (obs, info) reset).  This shim lets
+    ddpg/td3/sac/trpo/vpg here train on any gymnasium Box env:
+
+        import gymnasium
+        env_fn = lambda: GymnasiumAdapter(gymnasium.make("Pendulum-v1"))
+        sac(env_fn)
+    """
+
+    def __init__(self, env):
+        self.env = env
+        space, aspace = env.observation_space, env.action_space
+        self.obs_dim = int(np.prod(space.shape))
+        self.act_dim = int(np.prod(aspace.shape))
+        high = np.asarray(aspace.high).reshape(-1)
+        self.act_limit = float(high[0])
+
+    def reset(self):
+        obs, _info = self.env.reset()
+        return np.asarray(obs, np.float32).reshape(-1)
+
+    def step(self, action):
+        obs2, r, terminated, truncated, info = self.env.step(
+            np.asarray(action).reshape(self.env.action_space.shape))
+        # Spinning Up treats time-limit truncation as done for episode
+        # bookkeeping; the algorithms here bootstrap only on env dones,
+        # so expose `terminated` as done and flag truncation in info.
+        info = dict(info)
+        info["truncated"] = bool(truncated)
+        done = bool(terminated or truncated)
+        return (np.asarray(obs2, np.float32).reshape(-1), float(r),
+                done, info)

@@ -2,9 +2,12 @@
 (``spinup/algos/pytorch/sac``; SURVEY.md §2 L4).
 
 Squashed-Gaussian actor with reparameterized sampling, twin Q critics with
-min-target, entropy-regularized backup with fixed temperature ``alpha``
-(the vendored copy also uses fixed alpha), polyak target critics, uniform
-replay.
+min-target, entropy-regularized backup, polyak target critics, uniform
+replay.  Temperature ``alpha`` is fixed by default (as in the vendored
+copy) or tuned automatically (``auto_alpha=True``): ``log_alpha`` is a
+learned parameter minimizing ``-log_alpha * (logp + target_entropy)``,
+driving the policy entropy toward ``target_entropy`` (default
+``-act_dim``, the SAC-v2 heuristic) — a capability the reference lacks.
 """
 
 from __future__ import annotations
@@ -39,6 +42,8 @@ class SACConfig:
     update_after: int = 256
     update_every: int = 32
     seed: int = 0
+    auto_alpha: bool = False
+    target_entropy: float | None = None   # default: -act_dim
 
 
 def sac(env_fn: Callable, cfg: SACConfig | None = None, *,
@@ -64,16 +69,21 @@ def sac(env_fn: Callable, cfg: SACConfig | None = None, *,
     q_opt = optax.adam(cfg.lr)
     pi_state = pi_opt.init(pi_params)
     q_state = q_opt.init((q1_params, q2_params))
+    target_entropy = (cfg.target_entropy if cfg.target_entropy is not None
+                      else -float(act_dim))
+    log_alpha = jnp.asarray(np.log(cfg.alpha), jnp.float32)
+    alpha_opt = optax.adam(cfg.lr)
+    alpha_state = alpha_opt.init(log_alpha)
 
     @jax.jit
-    def q_update(qp, q_state, targ, pi_params, batch, rng):
+    def q_update(qp, q_state, targ, pi_params, alpha, batch, rng):
         def loss(qp):
             q1p, q2p = qp
             a2, logp2 = actor.apply(pi_params, batch["obs2"], rng)
             qt = jnp.minimum(q1.apply(targ["q1"], batch["obs2"], a2),
                              q2.apply(targ["q2"], batch["obs2"], a2))
             backup = batch["rew"] + cfg.gamma * (1 - batch["done"]) * (
-                qt - cfg.alpha * logp2)
+                qt - alpha * logp2)
             backup = jax.lax.stop_gradient(backup)
             l1 = jnp.mean((q1.apply(q1p, batch["obs"], batch["act"]) -
                            backup) ** 2)
@@ -86,18 +96,29 @@ def sac(env_fn: Callable, cfg: SACConfig | None = None, *,
         return optax.apply_updates(qp, updates), q_state, l
 
     @jax.jit
-    def pi_update(pi_params, pi_state, qp, batch, rng):
+    def pi_update(pi_params, pi_state, qp, alpha, batch, rng):
         q1p, q2p = qp
 
         def loss(p):
             a, logp = actor.apply(p, batch["obs"], rng)
             q = jnp.minimum(q1.apply(q1p, batch["obs"], a),
                             q2.apply(q2p, batch["obs"], a))
-            return jnp.mean(cfg.alpha * logp - q), jnp.mean(-logp)
+            return jnp.mean(alpha * logp - q), jnp.mean(logp)
 
-        (l, ent), grads = jax.value_and_grad(loss, has_aux=True)(pi_params)
+        (l, mean_logp), grads = jax.value_and_grad(
+            loss, has_aux=True)(pi_params)
         updates, pi_state = pi_opt.update(grads, pi_state, pi_params)
-        return optax.apply_updates(pi_params, updates), pi_state, l, ent
+        return (optax.apply_updates(pi_params, updates), pi_state, l,
+                mean_logp)
+
+    @jax.jit
+    def alpha_update(log_alpha, alpha_state, mean_logp):
+        def loss(la):
+            return -la * jax.lax.stop_gradient(mean_logp + target_entropy)
+
+        l, g = jax.value_and_grad(loss)(log_alpha)
+        updates, alpha_state = alpha_opt.update(g, alpha_state, log_alpha)
+        return optax.apply_updates(log_alpha, updates), alpha_state
 
     @jax.jit
     def polyak_targ(targ, q1_params, q2_params):
@@ -136,12 +157,17 @@ def sac(env_fn: Callable, cfg: SACConfig | None = None, *,
                 batch = {k: jnp.asarray(v) for k, v in
                          buf.sample(rng_np, cfg.batch_size).items()}
                 key, k_q, k_pi = jax.random.split(key, 3)
+                alpha = jnp.exp(log_alpha)
                 (q1_params, q2_params), q_state, q_l = q_update(
                     (q1_params, q2_params), q_state, targ, pi_params,
-                    batch, k_q)
-                pi_params, pi_state, pi_l, ent = pi_update(
-                    pi_params, pi_state, (q1_params, q2_params), batch,
-                    k_pi)
+                    alpha, batch, k_q)
+                pi_params, pi_state, pi_l, mean_logp = pi_update(
+                    pi_params, pi_state, (q1_params, q2_params), alpha,
+                    batch, k_pi)
+                ent = -mean_logp
+                if cfg.auto_alpha:
+                    log_alpha, alpha_state = alpha_update(
+                        log_alpha, alpha_state, mean_logp)
                 targ = polyak_targ(targ, q1_params, q2_params)
 
         if (t + 1) % cfg.steps_per_epoch == 0:
@@ -150,8 +176,10 @@ def sac(env_fn: Callable, cfg: SACConfig | None = None, *,
             logger.log_tabular("LossQ", float(q_l))
             logger.log_tabular("LossPi", float(pi_l))
             logger.log_tabular("Entropy", float(ent))
+            logger.log_tabular("Alpha", float(jnp.exp(log_alpha)))
             logger.log_tabular("Time", time.time() - start)
             logger.dump_tabular()
 
-    params = {"pi": pi_params, "q1": q1_params, "q2": q2_params}
+    params = {"pi": pi_params, "q1": q1_params, "q2": q2_params,
+              "log_alpha": log_alpha}
     return params, logger, act_det

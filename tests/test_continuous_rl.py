@@ -108,3 +108,43 @@ def test_trpo_improves_and_respects_trust_region(tmp_path):
     kl_col = header.index("KL")
     kls = [float(row.split("\t")[kl_col]) for row in progress[1:]]
     assert max(kls) < 5 * cfg.delta
+
+
+def test_sac_auto_alpha_tunes_temperature(tmp_path):
+    """auto_alpha=True learns log_alpha: it must move from its init and
+    training must still improve over random."""
+    from ldpc_tpu.rl.sac import SACConfig, sac
+
+    cfg = SACConfig(steps_per_epoch=256, epochs=4, start_steps=128,
+                    update_after=128, seed=2, auto_alpha=True, alpha=0.2)
+    params, logger, act_det = sac(lambda: PointMassEnv(seed=2), cfg,
+                                  logger=quiet_logger(tmp_path, "sac_aa"))
+    assert abs(float(params["log_alpha"]) - np.log(0.2)) > 1e-3
+    score = eval_policy(
+        PointMassEnv(seed=77),
+        lambda o: np.asarray(act_det(params["pi"], o[None]))[0])
+    assert score > random_baseline() + 2.0
+
+
+def test_gymnasium_adapter_api(tmp_path):
+    """The adapter exposes the flat API on a real gymnasium Box env and a
+    short SAC run on it executes end-to-end."""
+    gymnasium = pytest.importorskip("gymnasium")
+    from ldpc_tpu.rl.continuous import GymnasiumAdapter
+    from ldpc_tpu.rl.sac import SACConfig, sac
+
+    env = GymnasiumAdapter(gymnasium.make("Pendulum-v1"))
+    assert env.obs_dim == 3 and env.act_dim == 1 and env.act_limit == 2.0
+    obs = env.reset()
+    assert obs.shape == (3,)
+    obs2, r, done, info = env.step(np.zeros(1))
+    assert obs2.shape == (3,) and isinstance(r, float)
+    assert "truncated" in info
+
+    cfg = SACConfig(steps_per_epoch=64, epochs=1, start_steps=32,
+                    update_after=32, update_every=16, seed=0)
+    params, _, act_det = sac(
+        lambda: GymnasiumAdapter(gymnasium.make("Pendulum-v1")), cfg,
+        logger=quiet_logger(tmp_path, "gym_sac"))
+    a = np.asarray(act_det(params["pi"], obs[None]))[0]
+    assert a.shape == (1,) and abs(float(a[0])) <= 2.0
