@@ -31,40 +31,71 @@ __all__ = ["sharded_sweep_step", "evaluate_code_sharded"]
 
 def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
                        kind: str = "min-sum", scale_llr: bool = False,
-                       dtype=jnp.float32, **decoder_kw):
+                       dtype=jnp.float32, engine: str = "xla",
+                       pallas_tile_b: int = 128, **decoder_kw):
     """Jitted step with the batch axis sharded over the mesh.
 
     (key, snr_db[B]) -> dict of pre-reduced scalars: frames, bit errors
     (uncoded/decoded), iteration sum, success count, frame errors, mean
     realized sigma.  All reductions are global (cross-chip psum inserted by
     XLA), so the outputs are replicated scalars safe to read on any host.
+
+    ``engine="pallas"`` runs the VMEM-resident unrolled kernel
+    (``ops/pallas_static.py``) per device via ``shard_map`` — the Pallas
+    call is manually partitioned (XLA cannot auto-partition custom
+    kernels), each device decoding its local batch shard, which must be a
+    multiple of ``pallas_tile_b``.  On a CPU mesh the kernel runs in
+    interpret mode (sharding validation without TPU hardware).
     """
     n = code.n
-    decode_fn = decoder_for_code(code, max_iters, kind=kind, dtype=dtype,
-                                 **decoder_kw)
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
+    opts = None
+    if engine == "pallas":
+        from ..ops.pallas_static import _SCOPED_VMEM_KIB, \
+            make_static_sweep_decoder
+        shard_map = jax.shard_map
+        if kind != "min-sum":
+            raise ValueError("the pallas engine implements min-sum only")
+        interp = jax.default_backend() != "tpu"
+        pall = make_static_sweep_decoder(
+            code, max_iters, tile_b=pallas_tile_b, store_dtype=dtype,
+            interpret=interp)
+        counts_fn = shard_map(
+            lambda llr: pall(llr), mesh=mesh,
+            in_specs=P(DATA_AXIS, None),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False)
+        if not interp:
+            opts = {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
+    else:
+        decode_fn = decoder_for_code(code, max_iters, kind=kind,
+                                     dtype=dtype, **decoder_kw)
 
     def step(key, snr_db):
         b = snr_db.shape[0]
         clean = jnp.full((b, n), -1.0, jnp.float32)
         noisy, sigma, sigma_actual = awgn(key, clean, snr_db)
         llr = llr_from_channel(noisy, sigma) if scale_llr else noisy
-        res = decode_fn(llr)
-        errs = jnp.sum(res.hard.astype(jnp.int32), axis=-1)
-        frame_err = (errs > 0) | ~res.success
+        if engine == "pallas":
+            errs, iterations, success = counts_fn(llr)
+        else:
+            res = decode_fn(llr)
+            errs = jnp.sum(res.hard.astype(jnp.int32), axis=-1)
+            iterations, success = res.iterations, res.success
+        frame_err = (errs > 0) | ~success
         return {
             "frames": jnp.int32(b),
             "errors_uncoded": jnp.sum((noisy > 0).astype(jnp.int64)),
             "errors_decoded": jnp.sum(errs.astype(jnp.int64)),
-            "iterations_sum": jnp.sum(res.iterations.astype(jnp.int64)),
-            "success_count": jnp.sum(res.success.astype(jnp.int64)),
+            "iterations_sum": jnp.sum(iterations.astype(jnp.int64)),
+            "success_count": jnp.sum(success.astype(jnp.int64)),
             "frame_errors": jnp.sum(frame_err.astype(jnp.int64)),
             "sigma_actual_mean": jnp.mean(sigma_actual),
         }
 
     return jax.jit(step, in_shardings=(repl, data_sh),
-                   out_shardings=repl)
+                   out_shardings=repl, compiler_options=opts)
 
 
 def evaluate_code_sharded(code: QCCode,
@@ -78,6 +109,8 @@ def evaluate_code_sharded(code: QCCode,
                           kind: str = "min-sum",
                           scale_llr: bool = False,
                           dtype=jnp.float32,
+                          engine: str = "xla",
+                          pallas_tile_b: int = 128,
                           stats: BerStatistics | None = None,
                           verbose: bool = False) -> BerStatistics:
     """Full sweep over a device mesh; returns weighted BerStatistics.
@@ -92,20 +125,35 @@ def evaluate_code_sharded(code: QCCode,
     if batch_size is None:
         batch_size = 256 * ndev
     batch_size = max(ndev, (batch_size // ndev) * ndev)
+    if engine == "pallas":
+        # every per-device shard must be a whole number of kernel tiles
+        batch_size = max(batch_size,
+                         ndev * pallas_tile_b)
+        batch_size = (batch_size // (ndev * pallas_tile_b)) \
+            * ndev * pallas_tile_b
     step = sharded_sweep_step(code, mesh, max_iters, kind=kind,
-                              scale_llr=scale_llr, dtype=dtype)
+                              scale_llr=scale_llr, dtype=dtype,
+                              engine=engine, pallas_tile_b=pallas_tile_b)
     stats = stats if stats is not None else BerStatistics(code.n)
     root = jax.random.key(seed)
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
     for s_idx, snr in enumerate(snr_points):
         t0 = time.time()
         done = 0
+        grain = ndev * pallas_tile_b if engine == "pallas" else ndev
         while done < num_transmissions:
             b = min(batch_size, num_transmissions - done)
-            b = max(ndev, (b + ndev - 1) // ndev * ndev)
+            b = max(grain, (b + grain - 1) // grain * grain)
             key = jax.random.fold_in(jax.random.fold_in(root, s_idx), done)
-            snr_arr = jax.device_put(
-                jnp.full((b,), snr, jnp.float32), data_sh)
+            # Multi-host-correct feeding: every process materialises only
+            # the shards it addresses (jax.device_put of a globally
+            # materialised array is single-controller-only; cf. the
+            # reference splitting transmissions per GPU process,
+            # ldpcCUDA.py:898-900).
+            snr_arr = jax.make_array_from_callback(
+                (b,), data_sh,
+                lambda idx: np.full(
+                    (len(range(*idx[0].indices(b))),), snr, np.float32))
             out = jax.device_get(step(key, snr_arr))
             stats.add_aggregate(
                 snr=snr, sigma=float(np.sqrt(0.5 / 10 ** (snr / 10))),

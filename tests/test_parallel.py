@@ -64,3 +64,21 @@ def test_sharded_and_unsharded_sweeps_agree_statistically():
     assert sa["transmissions"] == sb["transmissions"] == 64
     # same seeds but different batch packing: statistically close only
     assert abs(sa["avg_iterations"][0] - sb["avg_iterations"][0]) < 3.0
+
+
+def test_sharded_pallas_engine_matches_xla():
+    """The pallas engine (shard_map over the mesh, interpret mode on CPU)
+    produces the same aggregate statistics as the XLA engine for the same
+    seed and batching."""
+    wifi = wifi_code()
+    mesh = make_mesh()
+    kw = dict(max_iters=12, mesh=mesh, batch_size=32, seed=13,
+              pallas_tile_b=4)
+    a = evaluate_code_sharded(wifi, [2.8], 32, engine="pallas", **kw)
+    b = evaluate_code_sharded(wifi, [2.8], 32, engine="xla", **kw)
+    sa, sb = a.summary(), b.summary()
+    assert sa["transmissions"] == sb["transmissions"]
+    # identical channel draws + min-sum: BER equal up to rare marginal
+    # words (f32 ordering); success counts within a couple of frames
+    assert abs(sa["ber"][0] - sb["ber"][0]) < 2e-3
+    assert abs(sa["fer"][0] - sb["fer"][0]) <= 2 / 32
