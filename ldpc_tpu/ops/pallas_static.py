@@ -76,7 +76,7 @@ _SCOPED_VMEM_KIB = 24 * 1024
 
 
 def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
-                  store_dtype, interpret: bool):
+                  store_dtype, schedule: str, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -145,7 +145,67 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
         iters_ref[...] = jnp.full((1, tile_b), max_iters, i32)
         errors_ref[...] = jnp.zeros((1, tile_b), i32)
 
-        def body(it, _):
+        def _recon(stats, d):
+            """c2v message of edge d from compressed stats
+            (m1, m2, am, sp, bits)."""
+            m1, m2, am, sp, bits = stats
+            bit = (bits >> d) & 1
+            sgn = sp * (1.0 - 2.0 * bit.astype(f32))
+            return sgn * jnp.where(am == f32(d), m2, m1)
+
+        def _row_stats(mb, olds):
+            """Scan block row mb: on-the-fly syndrome parity + fresh
+            compressed stats from v2c = rot(totals) - recon(old)."""
+            par = jnp.zeros((zp, tile_b), i32)
+            m1n = jnp.full((zp, tile_b), f32(_BIG))
+            m2n = jnp.full((zp, tile_b), f32(_BIG))
+            amn = jnp.zeros((zp, tile_b), f32)
+            spn = jnp.ones((zp, tile_b), f32)
+            bitsn = jnp.zeros((zp, tile_b), i32)
+            for (nb, s, d) in row_edges[mb]:
+                t = _rot(_ld(totals[nb]), s)
+                par = par ^ jnp.where(
+                    jnp.logical_and(t < 0, row_lt_z), 1, 0)
+                v = t - _recon(olds, d)
+                a = jnp.abs(v)
+                newmin = a < m1n
+                m2n = jnp.where(newmin, m1n, jnp.minimum(m2n, a))
+                amn = jnp.where(newmin, f32(d), amn)
+                m1n = jnp.minimum(m1n, a)
+                neg = v < 0
+                bitsn = bitsn | jnp.where(
+                    neg, i32(np.int32(np.uint32(1 << d))), 0)
+                spn = jnp.where(neg, -spn, spn)
+            return par, (m1n, m2n, amn, spn, bitsn)
+
+        def _read_stats(mb):
+            return (_ld(m1_ref[mb]), _ld(m2_ref[mb]), _ld(am_ref[mb]),
+                    _ld(sp_ref[mb]), bits_ref[mb])
+
+        def _write_stats(mb, stats):
+            m1n, m2n, amn, spn, bitsn = stats
+            m1_ref[mb] = _st(m1n)
+            m2_ref[mb] = _st(m2n)
+            am_ref[mb] = _st(amn)
+            sp_ref[mb] = _st(spn)
+            bits_ref[mb] = bitsn
+
+        def _latches(it, bad):
+            """Check-BEFORE-update convergence latching (ldpc.py:326-337
+            semantics: non-converged words report the final state)."""
+            ok = jnp.where(bad == 0, 1, 0)
+            newly = ok * (1 - success_ref[...])
+            iters_ref[...] = jnp.where(newly == 1, it, iters_ref[...])
+            errs = jnp.zeros((1, tile_b), i32)
+            for nb in range(nb_n):
+                errs = errs + jnp.sum(jnp.where(
+                    jnp.logical_and(_ld(totals[nb]) < 0, row_lt_z),
+                    1, 0), axis=0, keepdims=True)
+            errors_ref[...] = jnp.where(success_ref[...] == 1,
+                                        errors_ref[...], errs)
+            success_ref[...] = success_ref[...] | ok
+
+        def flooding_body(it, _):
             all_done = jnp.sum(success_ref[0, :]) == tile_b
 
             @pl.when(jnp.logical_not(all_done))
@@ -153,62 +213,52 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 # ---- phase A: syndrome + new compressed check state ----
                 bad = jnp.zeros((1, tile_b), i32)
                 for mb in range(mb_n):
-                    par = jnp.zeros((zp, tile_b), i32)
-                    m1n = jnp.full((zp, tile_b), f32(_BIG))
-                    m2n = jnp.full((zp, tile_b), f32(_BIG))
-                    amn = jnp.zeros((zp, tile_b), f32)
-                    spn = jnp.ones((zp, tile_b), f32)
-                    bitsn = jnp.zeros((zp, tile_b), i32)
-                    m1o, m2o = _ld(m1_ref[mb]), _ld(m2_ref[mb])
-                    amo, spo = _ld(am_ref[mb]), _ld(sp_ref[mb])
-                    bitso = bits_ref[mb]
-                    for (nb, s, d) in row_edges[mb]:
-                        t = _rot(_ld(totals[nb]), s)
-                        par = par ^ jnp.where(
-                            jnp.logical_and(t < 0, row_lt_z), 1, 0)
-                        # reconstruct previous c2v for this edge
-                        bit_o = (bitso >> d) & 1
-                        sgn_o = spo * (1.0 - 2.0 * bit_o.astype(f32))
-                        mag_o = jnp.where(amo == f32(d), m2o, m1o)
-                        v = t - sgn_o * mag_o
-                        a = jnp.abs(v)
-                        newmin = a < m1n
-                        m2n = jnp.where(newmin, m1n, jnp.minimum(m2n, a))
-                        amn = jnp.where(newmin, f32(d), amn)
-                        m1n = jnp.minimum(m1n, a)
-                        neg = v < 0
-                        bitsn = bitsn | jnp.where(
-                            neg, i32(np.int32(np.uint32(1 << d))), 0)
-                        spn = jnp.where(neg, -spn, spn)
+                    par, news = _row_stats(mb, _read_stats(mb))
                     bad = bad | jnp.sum(par, axis=0, keepdims=True)
-                    m1_ref[mb] = _st(m1n)
-                    m2_ref[mb] = _st(m2n)
-                    am_ref[mb] = _st(amn)
-                    sp_ref[mb] = _st(spn)
-                    bits_ref[mb] = bitsn
-                # ---- latches (check BEFORE the update just computed) ----
-                ok = jnp.where(bad == 0, 1, 0)
-                newly = ok * (1 - success_ref[...])
-                iters_ref[...] = jnp.where(newly == 1, it, iters_ref[...])
-                errs = jnp.zeros((1, tile_b), i32)
-                for nb in range(nb_n):
-                    errs = errs + jnp.sum(jnp.where(
-                        jnp.logical_and(_ld(totals[nb]) < 0, row_lt_z),
-                        1, 0), axis=0, keepdims=True)
-                errors_ref[...] = jnp.where(success_ref[...] == 1,
-                                            errors_ref[...], errs)
-                success_ref[...] = success_ref[...] | ok
+                    _write_stats(mb, news)
+                _latches(it, bad)
                 # ---- phase B: totals from compressed state ----
                 for nb in range(nb_n):
                     tot = -_ld(chan[nb])
                     for (mb, d, s) in col_edges[nb]:
-                        bit = (bits_ref[mb] >> d) & 1
-                        sgn = _ld(sp_ref[mb]) * (1.0 - 2.0 * bit.astype(f32))
-                        mag = jnp.where(_ld(am_ref[mb]) == f32(d),
-                                        _ld(m2_ref[mb]), _ld(m1_ref[mb]))
-                        tot = tot + _rot(sgn * mag, (z - s) % z)
+                        tot = tot + _rot(_recon(_read_stats(mb), d),
+                                         (z - s) % z)
                     totals[nb] = _st(tot)
             return 0
+
+        def layered_body(it, _):
+            # Serial-C (layered) schedule: each block row's fresh messages
+            # update the totals IMMEDIATELY (delta = new c2v - old c2v,
+            # rotated to variable frame), so later rows see them within
+            # the same sweep — ~2x fewer sweeps to converge than flooding
+            # at equal or better BER (standard production-decoder
+            # schedule; not a reference behaviour, hence opt-in).  The
+            # convergence check stays exact: a dedicated syndrome pass
+            # over the start-of-sweep totals.
+            all_done = jnp.sum(success_ref[0, :]) == tile_b
+
+            @pl.when(jnp.logical_not(all_done))
+            def _():
+                bad = jnp.zeros((1, tile_b), i32)
+                for mb in range(mb_n):
+                    par = jnp.zeros((zp, tile_b), i32)
+                    for (nb, s, d) in row_edges[mb]:
+                        t = _rot(_ld(totals[nb]), s)
+                        par = par ^ jnp.where(
+                            jnp.logical_and(t < 0, row_lt_z), 1, 0)
+                    bad = bad | jnp.sum(par, axis=0, keepdims=True)
+                _latches(it, bad)
+                for mb in range(mb_n):
+                    olds = _read_stats(mb)
+                    _, news = _row_stats(mb, olds)
+                    _write_stats(mb, news)
+                    for (nb, s, d) in row_edges[mb]:
+                        delta = _recon(news, d) - _recon(olds, d)
+                        totals[nb] = _st(
+                            _ld(totals[nb]) + _rot(delta, (z - s) % z))
+            return 0
+
+        body = flooding_body if schedule == "flooding" else layered_body
 
         jax.lax.fori_loop(0, max_iters + 1, body, 0)
 
@@ -264,6 +314,7 @@ _CACHE: dict = {}
 
 def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
                               tile_b: int = 128, store_dtype=jnp.bfloat16,
+                              schedule: str = "flooding",
                               interpret: bool = False):
     """Build the unrolled fused sweep decoder for a code.
 
@@ -276,14 +327,21 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     (channel/totals/compressed stats).  bfloat16 (default) halves state;
     float32 storage also fits near-earth under the raised scoped-vmem
     ceiling and tracks the XLA decoder's trajectories more closely.
+
+    ``schedule``: "flooding" reproduces the reference semantics
+    (ldpc.py flooding BP); "layered" (serial-C) applies each block row's
+    messages immediately — typically ~2x fewer sweeps to converge at
+    equal or better BER (iterations then count sweeps).
     """
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule: {schedule}")
     plan = DecodePlan.from_code(code)
     key = (plan.cache_key(), max_iters, tile_b,
-           jnp.dtype(store_dtype).name, interpret)
+           jnp.dtype(store_dtype).name, schedule, interpret)
     if key in _CACHE:
         return _CACHE[key]
     kernel_call = _build_kernel(plan, max_iters, tile_b, store_dtype,
-                                interpret)
+                                schedule, interpret)
     nb_n, z = plan.block_cols, plan.z
     zp = -(-z // 8) * 8
     sd = jnp.dtype(store_dtype)

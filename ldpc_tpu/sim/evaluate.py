@@ -33,7 +33,7 @@ from .channel import awgn, epsilon_probe, llr_from_channel, snr_db_to_sigma
 from .stats import BerStatistics
 
 __all__ = ["evaluate_code", "evaluate_epsilon_probe", "sweep_step",
-           "staged_decode_counts"]
+           "staged_decode_counts", "make_staged_decoder_device"]
 
 
 def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
@@ -99,6 +99,80 @@ def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
                 iters[part] = it2[:part.size]
                 success[part] = ok2[:part.size]
     return errors, iters, success
+
+
+def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
+                               phase1_iters: int = 12,
+                               redo_capacity: int | None = None,
+                               kind: str = "min-sum", dtype=jnp.float32,
+                               engine: str = "xla", **decoder_kw):
+    """Single-dispatch staged decode: the whole two-phase logic runs on
+    device, so one host round trip covers a batch.
+
+    ``staged_decode_counts`` does its phase-2 bookkeeping on host — fine
+    when dispatch is cheap, but through a high-latency link (a tunnelled
+    TPU, or any remote executor) each round trip costs more than the
+    decode itself.  Here the failed-word gather, re-decode and scatter
+    merge are jitted: ``lax.cond`` picks between re-decoding the gathered
+    failures (capacity ``redo_capacity``, default B/4 rounded to the
+    kernel tile) and re-decoding the entire batch (below-waterfall case
+    where most words fail).  Results are identical to the host-staged and
+    single-pass decoders (per-word convergence latching).
+
+    Returns a jitted ``fn(llr[B, n]) -> (errors, iterations, success)``.
+    """
+    del decoder_kw  # engine fns take no extra kwargs today
+
+    def build(b):
+        cap = redo_capacity or max(1, b // 4)
+        if engine == "pallas":
+            cap = max(128, -(-cap // 128) * 128)
+        cap = min(cap, b)
+        c1 = _engine_counts_fn(code, phase1_iters, kind,
+                               jnp.dtype(dtype).name, engine, ())
+        c2 = _engine_counts_fn(code, max_iters, kind,
+                               jnp.dtype(dtype).name, engine, ())
+
+        def fn(llr):
+            e1, it1, ok1 = c1(llr)
+            nfail = jnp.sum(~ok1)
+
+            def few(args):
+                e1, it1, ok1, llr = args
+                # stable gather of failed rows, padded with row 0
+                order = jnp.argsort(ok1, stable=True)   # failures first
+                idx = order[:cap]
+                live = jnp.arange(cap) < nfail
+                idx = jnp.where(live, idx, 0)
+                e2, it2, ok2 = c2(jnp.take(llr, idx, axis=0))
+                e = e1.at[idx].set(jnp.where(live, e2, e1[idx]))
+                it = it1.at[idx].set(jnp.where(live, it2, it1[idx]))
+                ok = ok1.at[idx].set(jnp.where(live, ok2, ok1[idx]))
+                return e, it, ok
+
+            def many(args):
+                e1, it1, ok1, llr = args
+                e2, it2, ok2 = c2(llr)
+                keep = ok1
+                return (jnp.where(keep, e1, e2),
+                        jnp.where(keep, it1, it2),
+                        jnp.where(keep, ok1, ok2))
+
+            return jax.lax.cond(nfail <= cap, few, many,
+                                (e1, it1, ok1, llr))
+
+        return jax.jit(fn)
+
+    cache: dict = {}
+
+    def staged(llr):
+        llr = jnp.asarray(llr)
+        b = llr.shape[0]
+        if b not in cache:
+            cache[b] = build(b)
+        return cache[b](llr)
+
+    return staged
 
 
 _COUNTS_CACHE: dict = {}

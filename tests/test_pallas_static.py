@@ -83,3 +83,26 @@ def test_static_kernel_near_earth_small():
                           np.asarray(errors))
     assert np.array_equal(np.asarray(ref.iterations), np.asarray(iters))
     assert np.array_equal(np.asarray(ref.success), np.asarray(success))
+
+
+def test_layered_schedule_converges_faster(wifi):
+    """Serial-C schedule: fewer sweeps than flooding on average, BER no
+    worse (MC tolerance), and the epsilon probe still decodes exactly."""
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(21), 8, wifi.n, 2.6)
+    flood = make_static_sweep_decoder(wifi, max_iters=30, tile_b=4,
+                                      store_dtype=jnp.float32,
+                                      interpret=True)
+    layer = make_static_sweep_decoder(wifi, max_iters=30, tile_b=4,
+                                      store_dtype=jnp.float32,
+                                      schedule="layered", interpret=True)
+    ef, itf, okf = [np.asarray(v) for v in flood(noisy)]
+    el, itl, okl = [np.asarray(v) for v in layer(noisy)]
+    assert okl.sum() >= okf.sum()
+    both = okf & okl
+    assert both.any()
+    assert itl[both].mean() < itf[both].mean()
+    assert el.sum() <= ef.sum() + 8
+
+    probe = jnp.tile(epsilon_probe(wifi.n, flips=(3,)), (4, 1))
+    e, it, ok = [np.asarray(v) for v in layer(probe)]
+    assert ok.all() and e.sum() == 0

@@ -186,3 +186,28 @@ def test_throughput_timer_and_roofline():
     assert t.spans == 1 and t.total_bits == 100
     info = device_roofline()
     assert "device_kind" in info
+
+
+def test_device_staged_matches_host_staged_and_direct():
+    """The single-dispatch device-staged decoder returns exactly the
+    host-staged (== single-pass) results in both cond branches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ldpc_tpu.codes import wifi_code
+    from ldpc_tpu.ops.decoder import decode
+    from ldpc_tpu.sim.channel import transmit_zero_codeword
+    from ldpc_tpu.sim.evaluate import make_staged_decoder_device
+
+    wifi = wifi_code()
+    B = 24
+    for snr, p1 in ((3.2, 4), (1.6, 4)):   # few-failures / many-failures
+        llr, _, _ = transmit_zero_codeword(jax.random.key(17), B, wifi.n,
+                                           jnp.full((B,), snr, jnp.float32))
+        staged = make_staged_decoder_device(wifi, 20, phase1_iters=p1,
+                                            redo_capacity=8)
+        e, it, ok = [np.asarray(v) for v in staged(llr)]
+        ref = decode(wifi, llr, 20)
+        assert np.array_equal(e, np.asarray(ref.hard).sum(axis=1))
+        assert np.array_equal(it, np.asarray(ref.iterations))
+        assert np.array_equal(ok, np.asarray(ref.success))
