@@ -7,12 +7,22 @@ near-earth (8176, 7154), min-sum, max 50 iterations, Eb/N0 sweep
 the reference's best published number at 3.4 dB — 42,335.2 bit/s on an RTX
 3080 (common.py:34) — but we also weigh against the full-sweep aggregate.
 
+Engine: the VMEM-resident unrolled Pallas kernel (ops/pallas_static.py) via
+the single-dispatch device-staged decoder (one host round trip per batch —
+through the tunnelled backend a round trip costs ~33 ms, more than the
+decode).  Per-word semantics are identical to a straight 50-iteration
+decode (convergence latching).  Falls back to the XLA while-loop engine
+automatically if the kernel fails to build on the current toolchain.
+Overrides: LDPC_TPU_BENCH_ENGINE=xla|pallas, LDPC_TPU_BENCH_DTYPE,
+LDPC_TPU_BENCH_BATCH.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "bit/s", "vs_baseline": N}
 plus detail lines on stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -24,44 +34,52 @@ def main():
     import jax.numpy as jnp
 
     from ldpc_tpu.codes import near_earth_code
-    from ldpc_tpu.sim.evaluate import _transmit_fn, staged_decode_counts
+    from ldpc_tpu.sim.evaluate import (_transmit_fn,
+                                       make_staged_decoder_device)
 
     code = near_earth_code()
     max_iters = 50
-    batch = int(jax.device_count() * 1024)
+    batch = int(os.environ.get("LDPC_TPU_BENCH_BATCH",
+                               jax.device_count() * 1024))
     snr_points = [3.0, 3.2, 3.4, 3.6]
     baseline_at_3p4 = 42335.2  # RTX 3080, common.py:34
 
-    # Staged decode: identical per-word semantics to a straight 50-iter
-    # decode (see sim/evaluate.staged_decode_counts), stragglers don't
-    # stall the batch.  The default engine is the VMEM-resident unrolled
-    # Pallas kernel (ops/pallas_static.py; bf16 state, f32 arithmetic) —
-    # statistically equivalent BER to the f32 XLA path (converged words
-    # match it exactly) at a large throughput multiple.  Fall back with
-    # LDPC_TPU_BENCH_ENGINE=xla / LDPC_TPU_BENCH_DTYPE=float32.
-    import os
-    transmit = _transmit_fn(code.n, scale_llr=False)
-    key = jax.random.key(7134066)
     engine = os.environ.get("LDPC_TPU_BENCH_ENGINE", "pallas")
     dtype = jnp.dtype(os.environ.get(
         "LDPC_TPU_BENCH_DTYPE",
         "bfloat16" if engine == "pallas" else "float32"))
+    transmit = _transmit_fn(code.n, scale_llr=False)
+    key = jax.random.key(7134066)
 
-    def run(k, snr_arr):
-        llr, _, _, _ = transmit(k, snr_arr)
-        return staged_decode_counts(code, llr, max_iters, phase1_iters=12,
-                                    pad_to=128, dtype=dtype, engine=engine)
+    def build(eng, dt):
+        staged = make_staged_decoder_device(
+            code, max_iters, phase1_iters=12, engine=eng, dtype=dt)
 
-    # compile once; second key also warms the phase-2 shape
-    for w in range(2):
-        run(jax.random.fold_in(key, 1000 + w),
+        def run(k, snr_arr):
+            llr, _, _, _ = transmit(k, snr_arr)
+            # device_get is the only reliable completion barrier through
+            # the tunnelled backend (block_until_ready returns early).
+            return jax.device_get(staged(llr))
+
+        return run
+
+    run = build(engine, dtype)
+    try:  # compile check; fall back to the XLA engine if the kernel fails
+        run(jax.random.fold_in(key, 999),
+            jnp.full((batch,), 3.4, jnp.float32))
+    except Exception as e:  # noqa: BLE001 — any toolchain failure
+        print(f"[bench] engine {engine} failed ({type(e).__name__}); "
+              f"falling back to xla/f32", file=sys.stderr)
+        engine, dtype = "xla", jnp.dtype("float32")
+        run = build(engine, dtype)
+        run(jax.random.fold_in(key, 999),
             jnp.full((batch,), 3.4, jnp.float32))
 
     detail = {}
     for snr in snr_points:
         snr_arr = jnp.full((batch,), snr, jnp.float32)
-        # untimed warm pass per point: the low-SNR adaptive full-batch
-        # path compiles lazily and must not leak into timing
+        # untimed warm pass per point (lazy branch compiles must not
+        # leak into timing)
         run(jax.random.fold_in(key, int(snr * 10) + 99), snr_arr)
         trials = 4
         best = float("inf")
@@ -80,11 +98,11 @@ def main():
         print(f"[bench] snr {snr}: {bits / best:,.0f} bit/s  "
               f"BER {detail[snr]['ber']:.3e}  "
               f"iters {detail[snr]['avg_iterations']:.1f}  "
-              f"batch {batch}", file=sys.stderr)
+              f"batch {batch} engine {engine}", file=sys.stderr)
 
     # BER parity evidence: the per-point BER lines above vs the
     # reference's published near-earth points (common.py:112-114);
-    # bf16-vs-f32 equivalence is covered by tests/test_decoder.py.
+    # engine equivalence is covered by tests/test_pallas_static.py.
     value = detail[3.4]["bit_per_s"]
     print(json.dumps({
         "metric": "near_earth_decoded_throughput_3p4dB_50iters",
