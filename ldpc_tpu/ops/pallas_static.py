@@ -58,8 +58,6 @@ other the same way).  BER/FER statistics agree to Monte-Carlo precision.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -315,7 +313,8 @@ _CACHE: dict = {}
 def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
                               tile_b: int = 128, store_dtype=jnp.bfloat16,
                               schedule: str = "flooding",
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              jit: bool = True):
     """Build the unrolled fused sweep decoder for a code.
 
     Returns ``decode_counts(llr[B, n]) -> (errors[B], iterations[B],
@@ -332,12 +331,17 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     (ldpc.py flooding BP); "layered" (serial-C) applies each block row's
     messages immediately — typically ~2x fewer sweeps to converge at
     equal or better BER (iterations then count sweeps).
+
+    ``jit=False`` returns the untraced function for embedding in a larger
+    jitted program (``compiler_options`` may only sit on a top-level jit;
+    such callers must set ``xla_tpu_scoped_vmem_limit_kib`` >=
+    ``_SCOPED_VMEM_KIB`` themselves on TPU).
     """
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule: {schedule}")
     plan = DecodePlan.from_code(code)
     key = (plan.cache_key(), max_iters, tile_b,
-           jnp.dtype(store_dtype).name, schedule, interpret)
+           jnp.dtype(store_dtype).name, schedule, interpret, jit)
     if key in _CACHE:
         return _CACHE[key]
     kernel_call = _build_kernel(plan, max_iters, tile_b, store_dtype,
@@ -346,10 +350,6 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     zp = -(-z // 8) * 8
     sd = jnp.dtype(store_dtype)
 
-    opts = (None if interpret else
-            {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)})
-
-    @functools.partial(jax.jit, compiler_options=opts)
     def decode_counts(llr):
         b = llr.shape[0]
         if b % tile_b:
@@ -361,6 +361,10 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
         errors, iters, success = kernel_call(llr_t)
         return errors[0], iters[0], success[0].astype(bool)
 
+    if jit:
+        opts = (None if interpret else
+                {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)})
+        decode_counts = jax.jit(decode_counts, compiler_options=opts)
     _CACHE[key] = decode_counts
     return decode_counts
 

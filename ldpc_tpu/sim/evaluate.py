@@ -129,9 +129,11 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
             cap = max(128, -(-cap // 128) * 128)
         cap = min(cap, b)
         c1 = _engine_counts_fn(code, phase1_iters, kind,
-                               jnp.dtype(dtype).name, engine, ())
+                               jnp.dtype(dtype).name, engine, (),
+                               nested=True)
         c2 = _engine_counts_fn(code, max_iters, kind,
-                               jnp.dtype(dtype).name, engine, ())
+                               jnp.dtype(dtype).name, engine, (),
+                               nested=True)
 
         def fn(llr):
             e1, it1, ok1 = c1(llr)
@@ -161,7 +163,7 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
             return jax.lax.cond(nfail <= cap, few, many,
                                 (e1, it1, ok1, llr))
 
-        return jax.jit(fn)
+        return jax.jit(fn, compiler_options=_pallas_compiler_options(engine))
 
     cache: dict = {}
 
@@ -200,9 +202,14 @@ def _counts_fn(code: QCCode, max_iters: int, kind: str, dtype_name: str,
 
 
 def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
-                      dtype_name: str, engine: str, kw_key):
+                      dtype_name: str, engine: str, kw_key, *,
+                      nested: bool = False):
     """Counts backend dispatch: the XLA while-loop decoder or the
     VMEM-resident Pallas kernel (same (errors, iters, success) contract).
+
+    ``nested=True`` returns a function safe to embed in an enclosing jit
+    (the pallas engine's compiler options must then sit on that top-level
+    jit — see :func:`_pallas_compiler_options`).
     """
     if engine == "xla":
         return _counts_fn(code, max_iters, kind, dtype_name, kw_key)
@@ -210,13 +217,14 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
         raise ValueError(f"unknown decode engine: {engine}")
     if kind != "min-sum":
         raise ValueError("the pallas engine implements min-sum only")
-    key = ("pallas", id(code), code.name, max_iters, dtype_name)
+    key = ("pallas", id(code), code.name, max_iters, dtype_name, nested)
     fn = _COUNTS_CACHE.get(key)
     if fn is None:
         from ..ops.pallas_static import make_static_sweep_decoder
         tile = 128
         dec = make_static_sweep_decoder(code, max_iters, tile_b=tile,
-                                        store_dtype=jnp.dtype(dtype_name))
+                                        store_dtype=jnp.dtype(dtype_name),
+                                        jit=not nested)
 
         def fn(llr):
             b = llr.shape[0]
@@ -229,6 +237,14 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
 
         _COUNTS_CACHE[key] = fn
     return fn
+
+
+def _pallas_compiler_options(engine: str):
+    """Top-level-jit compiler options required by the pallas engine."""
+    if engine != "pallas" or jax.default_backend() != "tpu":
+        return None
+    from ..ops.pallas_static import _SCOPED_VMEM_KIB
+    return {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
 
 
 def sweep_step(code: QCCode, max_iters: int = 50, *, kind: str = "min-sum",
