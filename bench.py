@@ -47,6 +47,8 @@ def main():
     baseline_at_3p4 = 42335.2  # RTX 3080, common.py:34
 
     engine = os.environ.get("LDPC_TPU_BENCH_ENGINE", "pallas")
+    # bf16 state: the f32 kernel's ~22 MB scoped schedule sits at the
+    # edge of physical VMEM and wedged the device at bench scale.
     dtype = jnp.dtype(os.environ.get(
         "LDPC_TPU_BENCH_DTYPE",
         "bfloat16" if engine == "pallas" else "float32"))

@@ -69,8 +69,11 @@ __all__ = ["make_static_sweep_decoder", "static_decode_counts"]
 
 _BIG = 3.0e38
 # Scoped-VMEM ceiling handed to the TPU compiler (KiB).  The scheduler's
-# rotation-hoisting schedules need ~18-22 MB > the 16 MiB default.
-_SCOPED_VMEM_KIB = 24 * 1024
+# rotation-hoisting schedules need ~18 MB (bf16 state) > the 16 MiB
+# default.  20 MiB admits those while rejecting the ~22 MB f32 schedules
+# at COMPILE time — executing one of those at bench scale wedged the
+# device (physical VMEM is evidently just above 22 MB on v5e).
+_SCOPED_VMEM_KIB = 20 * 1024
 
 
 def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
@@ -323,9 +326,11 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
 
     Arithmetic is float32 throughout (rotates are 32-bit-only in the
     current Mosaic); ``store_dtype`` controls the VMEM-resident state
-    (channel/totals/compressed stats).  bfloat16 (default) halves state;
-    float32 storage also fits near-earth under the raised scoped-vmem
-    ceiling and tracks the XLA decoder's trajectories more closely.
+    (channel/totals/compressed stats).  bfloat16 (default, ~18 MB scoped
+    schedule) is the stable choice; float32 measures ~16% faster at small
+    batches (per-access converts cost more than the bandwidth they save)
+    but its ~22 MB schedule sits at the edge of physical VMEM — a large
+    f32 staged run wedged the device outright, so f32 is opt-in.
 
     ``schedule``: "flooding" reproduces the reference semantics
     (ldpc.py flooding BP); "layered" (serial-C) applies each block row's
