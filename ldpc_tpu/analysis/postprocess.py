@@ -20,7 +20,7 @@ import numpy as np
 from ..codes import uncompress
 from ..sim.evaluate import evaluate_code
 
-__all__ = ["post_mortem_best_codes", "action_heatmaps",
+__all__ = ["post_mortem_best_codes", "action_heatmaps", "reward_surface",
            "REWARD_FOR_NEAR_EARTH_3_0_TO_3_8",
            "REWARD_FOR_NEAR_EARTH_3_0_TO_3_4", "POST_MORTEM_SNR_POINTS"]
 
@@ -98,3 +98,42 @@ def action_heatmaps(file_path, out_dir=None, save_figures: bool = False):
                         bbox_inches="tight")
             plt.close(fig)
     return out
+
+
+def reward_surface(start_point: float = 2.8, end_point: float = 3.8,
+                   lo: float = -3.0, hi: float = 3.0, step: float = 0.1,
+                   save_path=None):
+    """Reward landscape over fitted-line (slope, bias) space.
+
+    The env reward is the integral of ``1 - (slope*x + bias)`` over the
+    SNR region of interest (``calcReward``, ldpc_env.py:319-345); this
+    evaluates it on a (slope, bias) grid — the reference's
+    ``drawRewardSurface`` (postProcessing.py:266-290, whose tail is dead
+    code: it computes three variants and has a syntax error in its
+    return).  Returns (slope_grid, bias_grid, reward_grid); optionally
+    saves a 3-D surface plot.
+    """
+    bias = np.arange(lo, hi, step)
+    slope = np.arange(lo, hi, step)
+    slope, bias = np.meshgrid(slope, bias)
+    # ∫ (1 - (slope·x + bias)) dx over [start, end]
+    width = end_point - start_point
+    reward = (width
+              - 0.5 * slope * (end_point ** 2 - start_point ** 2)
+              - bias * width)
+    if save_path is not None:
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        from matplotlib import cm
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+        surf = ax.plot_surface(slope, bias, reward, cmap=cm.coolwarm,
+                               linewidth=0, antialiased=False)
+        ax.set_xlabel("slope")
+        ax.set_ylabel("bias")
+        ax.set_zlabel("reward")
+        fig.colorbar(surf, shrink=0.5, aspect=5)
+        fig.savefig(save_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+    return slope, bias, reward

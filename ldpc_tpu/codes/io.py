@@ -191,13 +191,16 @@ def code_hex_name(code: QCCode) -> str:
 
 def save_code_instance(code: QCCode, path, stats=None,
                        evaluation_time: float = 0.0,
-                       file_name: str | None = None) -> str:
+                       file_name: str | None = None,
+                       fmt: str = "npz") -> str:
     """Save a code (+ optional eval stats) under a SHA-224 content name.
 
     Equivalent of ``fileHandler.saveCodeInstance`` (fileHandler.py:203-231):
     name = ``{z}_{Mb}_{Nb}_{sha224(hex serialisation)}``.  Stored as ``.npz``
-    with the shift table and, when given, the scatter/aggregate stats produced
-    by ``ldpc_tpu.sim.stats.BerStatistics``.
+    (default) with the shift table and, when given, the scatter/aggregate
+    stats produced by ``ldpc_tpu.sim.stats.BerStatistics``; ``fmt="mat"``
+    writes the reference's MATLAB format instead (scipy.io, same keys the
+    reference stores) for drop-in consumption by its tooling.
     """
     hex_name = code_hex_name(code)
     if file_name is None:
@@ -218,15 +221,30 @@ def save_code_instance(code: QCCode, path, stats=None,
             berAggregate=ber_data, averageNumberOfIterations=avg_iters,
         )
     os.makedirs(path, exist_ok=True)
-    full = os.path.join(str(path), file_name + ".npz")
-    np.savez(full, **payload)
+    if fmt == "mat":
+        from scipy.io import savemat
+        full = os.path.join(str(path), file_name + ".mat")
+        savemat(full, {k: np.asarray(v) for k, v in payload.items()})
+    elif fmt == "npz":
+        full = os.path.join(str(path), file_name + ".npz")
+        np.savez(full, **payload)
+    else:
+        raise ValueError(f"unknown format: {fmt}")
     return file_name
 
 
 def load_code_instance(path) -> tuple[QCCode, dict]:
-    """Load a saved code instance; returns (code, dict-of-arrays)."""
-    with np.load(path, allow_pickle=False) as data:
-        payload = {k: data[k] for k in data.files}
+    """Load a saved code instance (.npz or .mat); returns
+    (code, dict-of-arrays)."""
+    if str(path).endswith(".mat"):
+        from scipy.io import loadmat
+        raw = loadmat(path)
+        payload = {k: np.squeeze(v) for k, v in raw.items()
+                   if not k.startswith("__")}
+        payload["first_rows"] = np.atleast_2d(raw["first_rows"])
+    else:
+        with np.load(path, allow_pickle=False) as data:
+            payload = {k: data[k] for k in data.files}
     code = QCCode.from_first_rows(payload["first_rows"],
                                   name=str(payload.get("hex_name", ""))[:16])
     return code, payload

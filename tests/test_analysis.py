@@ -73,3 +73,28 @@ def test_action_heatmaps(steps_tsv, tmp_path):
     assert grids["k"].shape == (1, 2)      # k always 2, 2 epochs
     assert grids["i"].shape[1] == 2
     assert (steps_tsv.parent / "heatMapI.png").exists()
+
+
+def test_reward_surface_grid(tmp_path):
+    from ldpc_tpu.analysis import reward_surface
+
+    slope, bias, reward = reward_surface(save_path=tmp_path / "surf.png")
+    assert slope.shape == bias.shape == reward.shape
+    # flat zero line (slope=0, bias=0) integrates to the region width
+    import numpy as np
+    i, j = np.unravel_index(np.argmin(slope ** 2 + bias ** 2), slope.shape)
+    assert abs(reward[i, j] - 1.0) < 0.2
+    assert (tmp_path / "surf.png").exists()
+
+
+def test_code_instance_mat_roundtrip(tmp_path):
+    import numpy as np
+    from ldpc_tpu.codes import (load_code_instance, save_code_instance,
+                                wifi_code)
+
+    code = wifi_code()
+    name = save_code_instance(code, tmp_path, fmt="mat")
+    path = tmp_path / (name + ".mat")
+    assert path.exists()
+    loaded, payload = load_code_instance(path)
+    assert np.array_equal(loaded.first_rows(), code.first_rows())
