@@ -141,15 +141,20 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
 
             def few(args):
                 e1, it1, ok1, llr = args
-                # stable gather of failed rows, padded with row 0
-                order = jnp.argsort(ok1, stable=True)   # failures first
+                # stable gather of failed rows (failures first); padding
+                # entries gather row 0 but scatter to an out-of-range
+                # index with mode="drop" — writing index 0 instead would
+                # race the live write when word 0 itself failed (scatter
+                # duplicate order is unspecified).
+                order = jnp.argsort(ok1, stable=True)
                 idx = order[:cap]
                 live = jnp.arange(cap) < nfail
-                idx = jnp.where(live, idx, 0)
-                e2, it2, ok2 = c2(jnp.take(llr, idx, axis=0))
-                e = e1.at[idx].set(jnp.where(live, e2, e1[idx]))
-                it = it1.at[idx].set(jnp.where(live, it2, it1[idx]))
-                ok = ok1.at[idx].set(jnp.where(live, ok2, ok1[idx]))
+                gather_idx = jnp.where(live, idx, 0)
+                scatter_idx = jnp.where(live, idx, e1.shape[0])
+                e2, it2, ok2 = c2(jnp.take(llr, gather_idx, axis=0))
+                e = e1.at[scatter_idx].set(e2, mode="drop")
+                it = it1.at[scatter_idx].set(it2, mode="drop")
+                ok = ok1.at[scatter_idx].set(ok2, mode="drop")
                 return e, it, ok
 
             def many(args):

@@ -211,3 +211,32 @@ def test_device_staged_matches_host_staged_and_direct():
         assert np.array_equal(e, np.asarray(ref.hard).sum(axis=1))
         assert np.array_equal(it, np.asarray(ref.iterations))
         assert np.array_equal(ok, np.asarray(ref.success))
+
+
+def test_device_staged_word_zero_failure_not_clobbered():
+    """Regression: padding entries of the phase-2 gather must not race
+    word 0's scatter write (duplicate scatter order is unspecified).
+    Build a batch whose FIRST word fails phase 1 and verify its phase-2
+    result survives."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ldpc_tpu.codes import wifi_code
+    from ldpc_tpu.ops.decoder import decode
+    from ldpc_tpu.sim.channel import transmit_zero_codeword
+    from ldpc_tpu.sim.evaluate import make_staged_decoder_device
+
+    wifi = wifi_code()
+    B = 16
+    # harsh word 0, easy rest
+    snr = jnp.concatenate([jnp.full((1,), 1.2), jnp.full((B - 1,), 5.0)])
+    llr, _, _ = transmit_zero_codeword(jax.random.key(3), B, wifi.n,
+                                       snr.astype(jnp.float32))
+    ref = decode(wifi, llr, 25)
+    assert not bool(ref.success[0]) or int(ref.iterations[0]) > 2
+    staged = make_staged_decoder_device(wifi, 25, phase1_iters=2,
+                                        redo_capacity=8)
+    e, it, ok = [np.asarray(v) for v in staged(llr)]
+    assert np.array_equal(e, np.asarray(ref.hard).sum(axis=1))
+    assert np.array_equal(it, np.asarray(ref.iterations))
+    assert np.array_equal(ok, np.asarray(ref.success))
