@@ -112,6 +112,28 @@ def cmd_train(args):
     train_main(args.rest)
 
 
+def cmd_post_mortem(args):
+    """Re-evaluate the best codes of an experiment TSV and/or draw action
+    heat maps (postProcessing.py:27-160 equivalents)."""
+    from .analysis import action_heatmaps, post_mortem_best_codes
+    if args.heatmaps:
+        out = action_heatmaps(args.tsv, save_figures=True)
+        print(json.dumps({k: v.shape for k, v in out.items()},
+                         default=str))
+    if args.best:
+        results = post_mortem_best_codes(
+            args.tsv, num_transmissions=args.transmissions)
+        for code, stats in results:
+            print(json.dumps(stats.summary()))
+
+
+def cmd_reward_surface(args):
+    from .analysis import reward_surface
+    reward_surface(start_point=args.start, end_point=args.end,
+                   save_path=args.out)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
 def cmd_getting_started(args):
     """Environment sanity walk-through (gettingStarted.py equivalent)."""
     import jax
@@ -190,6 +212,21 @@ def main(argv=None):
 
     gs = sub.add_parser("getting-started", help="environment sanity check")
     gs.set_defaults(fn=cmd_getting_started)
+
+    pm = sub.add_parser("post-mortem", help="experiment post-hoc analysis")
+    pm.add_argument("tsv", help="experiment TSV log")
+    pm.add_argument("--best", action="store_true",
+                    help="re-evaluate best codes")
+    pm.add_argument("--heatmaps", action="store_true",
+                    help="write action heat maps")
+    pm.add_argument("--transmissions", type=int, default=64)
+    pm.set_defaults(fn=cmd_post_mortem)
+
+    rs = sub.add_parser("reward-surface", help="reward landscape plot")
+    rs.add_argument("--start", type=float, default=2.8)
+    rs.add_argument("--end", type=float, default=3.8)
+    rs.add_argument("--out", default="rewardSurface.png")
+    rs.set_defaults(fn=cmd_reward_surface)
 
     args = p.parse_args(argv)
     return args.fn(args)
