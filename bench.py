@@ -57,7 +57,7 @@ def main():
 
     def build(eng, dt):
         staged = make_staged_decoder_device(
-            code, max_iters, phase1_iters=12, engine=eng, dtype=dt)
+            code, max_iters, phase1_iters=10, engine=eng, dtype=dt)
 
         def run(k, snr_arr):
             llr, _, _, _ = transmit(k, snr_arr)

@@ -207,7 +207,7 @@ def main(argv=None):
     pe.set_defaults(fn=cmd_perturb)
 
     tr = sub.add_parser("train", help="PPO code search")
-    tr.add_argument("rest", nargs=argparse.REMAINDER)
+    tr.add_argument("rest", nargs="*", help="args passed to rl.train")
     tr.set_defaults(fn=cmd_train)
 
     gs = sub.add_parser("getting-started", help="environment sanity check")
