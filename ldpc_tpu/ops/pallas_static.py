@@ -69,11 +69,12 @@ __all__ = ["make_static_sweep_decoder", "static_decode_counts"]
 
 _BIG = 3.0e38
 # Scoped-VMEM ceiling handed to the TPU compiler (KiB).  The scheduler's
-# rotation-hoisting schedules need ~18 MB (bf16 state) > the 16 MiB
-# default.  20 MiB admits those while rejecting the ~22 MB f32 schedules
-# at COMPILE time — executing one of those at bench scale wedged the
-# device (physical VMEM is evidently just above 22 MB on v5e).
-_SCOPED_VMEM_KIB = 20 * 1024
+# rotation-hoisting schedules need ~18 MB (bf16 flooding) / ~20.3 MB
+# (bf16 layered) > the 16 MiB default.  21 MiB admits those while
+# rejecting the ~22 MB f32 schedules at COMPILE time — executing one of
+# those at bench scale wedged the device (physical VMEM is evidently
+# just above 22 MB on v5e).
+_SCOPED_VMEM_KIB = 21 * 1024
 
 
 def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
