@@ -47,17 +47,19 @@ def main():
     baseline_at_3p4 = 42335.2  # RTX 3080, common.py:34
 
     engine = os.environ.get("LDPC_TPU_BENCH_ENGINE", "pallas")
-    # bf16 state: the f32 kernel's ~22 MB scoped schedule sits at the
-    # edge of physical VMEM and wedged the device at bench scale.
-    dtype = jnp.dtype(os.environ.get(
-        "LDPC_TPU_BENCH_DTYPE",
-        "bfloat16" if engine == "pallas" else "float32"))
+    # LDPC_TPU_BENCH_DTYPE sets the Pallas VMEM storage dtype (default
+    # bfloat16: the f32 kernel's ~22 MB scoped schedule sits at the edge
+    # of physical VMEM and wedged the device at bench scale) or the XLA
+    # engine's compute dtype.
+    dtype_env = os.environ.get("LDPC_TPU_BENCH_DTYPE")
     transmit = _transmit_fn(code.n, scale_llr=False)
     key = jax.random.key(7134066)
 
     def build(eng, dt):
         staged = make_staged_decoder_device(
-            code, max_iters, phase1_iters=10, engine=eng, dtype=dt)
+            code, max_iters, phase1_iters=10, engine=eng,
+            **({"store_dtype": dt} if eng == "pallas" and dt else
+               {"dtype": jnp.dtype(dt)} if dt else {}))
 
         def run(k, snr_arr):
             llr, _, _, _ = transmit(k, snr_arr)
@@ -67,15 +69,15 @@ def main():
 
         return run
 
-    run = build(engine, dtype)
+    run = build(engine, dtype_env)
     try:  # compile check; fall back to the XLA engine if the kernel fails
         run(jax.random.fold_in(key, 999),
             jnp.full((batch,), 3.4, jnp.float32))
     except Exception as e:  # noqa: BLE001 — any toolchain failure
         print(f"[bench] engine {engine} failed ({type(e).__name__}); "
               f"falling back to xla/f32", file=sys.stderr)
-        engine, dtype = "xla", jnp.dtype("float32")
-        run = build(engine, dtype)
+        engine = "xla"
+        run = build(engine, None)
         run(jax.random.fold_in(key, 999),
             jnp.full((batch,), 3.4, jnp.float32))
 

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codes.qc import QCCode
 from ..ops.decoder import decoder_for_code
-from ..sim.channel import awgn, llr_from_channel
+from ..sim.channel import awgn, llr_from_channel, snr_db_to_sigma
 from ..sim.stats import BerStatistics
 from .mesh import DATA_AXIS, make_mesh
 
@@ -58,9 +58,15 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
         if kind != "min-sum":
             raise ValueError("the pallas engine implements min-sum only")
         interp = jax.default_backend() != "tpu"
+        # jit=False: the kernel is traced inside the outer jitted step,
+        # and its compiler options may only sit on a TOP-LEVEL jit (they
+        # are attached to the outer jax.jit below).  The storage dtype is
+        # the kernel's own default (bfloat16) — the sim-level compute
+        # dtype is a different knob and f32 storage does not fit the
+        # scoped-VMEM ceiling for large codes.
         pall = make_static_sweep_decoder(
-            code, max_iters, tile_b=pallas_tile_b, store_dtype=dtype,
-            interpret=interp)
+            code, max_iters, tile_b=pallas_tile_b, interpret=interp,
+            jit=False)
         counts_fn = shard_map(
             lambda llr: pall(llr), mesh=mesh,
             in_specs=P(DATA_AXIS, None),
@@ -156,7 +162,7 @@ def evaluate_code_sharded(code: QCCode,
                     (len(range(*idx[0].indices(b))),), snr, np.float32))
             out = jax.device_get(step(key, snr_arr))
             stats.add_aggregate(
-                snr=snr, sigma=float(np.sqrt(0.5 / 10 ** (snr / 10))),
+                snr=snr, sigma=float(snr_db_to_sigma(snr)),
                 sigma_actual_mean=out["sigma_actual_mean"],
                 errors_uncoded=out["errors_uncoded"],
                 errors_decoded=out["errors_decoded"],

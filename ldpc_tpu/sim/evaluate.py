@@ -105,6 +105,7 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
                                phase1_iters: int = 12,
                                redo_capacity: int | None = None,
                                kind: str = "min-sum", dtype=jnp.float32,
+                               store_dtype=None,
                                engine: str = "xla", **decoder_kw):
     """Single-dispatch staged decode: the whole two-phase logic runs on
     device, so one host round trip covers a batch.
@@ -119,9 +120,15 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
     where most words fail).  Results are identical to the host-staged and
     single-pass decoders (per-word convergence latching).
 
+    ``dtype`` is the XLA engine's compute dtype; ``store_dtype`` is the
+    Pallas engine's VMEM storage dtype (default bfloat16 — see
+    ``ops/pallas_static.py``).
+
     Returns a jitted ``fn(llr[B, n]) -> (errors, iterations, success)``.
     """
     del decoder_kw  # engine fns take no extra kwargs today
+    kw_key = (() if store_dtype is None
+              else (("store_dtype", jnp.dtype(store_dtype).name),))
 
     def build(b):
         cap = redo_capacity or max(1, b // 4)
@@ -129,10 +136,10 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
             cap = max(128, -(-cap // 128) * 128)
         cap = min(cap, b)
         c1 = _engine_counts_fn(code, phase1_iters, kind,
-                               jnp.dtype(dtype).name, engine, (),
+                               jnp.dtype(dtype).name, engine, kw_key,
                                nested=True)
         c2 = _engine_counts_fn(code, max_iters, kind,
-                               jnp.dtype(dtype).name, engine, (),
+                               jnp.dtype(dtype).name, engine, kw_key,
                                nested=True)
 
         def fn(llr):
@@ -222,13 +229,25 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
         raise ValueError(f"unknown decode engine: {engine}")
     if kind != "min-sum":
         raise ValueError("the pallas engine implements min-sum only")
-    key = ("pallas", id(code), code.name, max_iters, dtype_name, nested)
+    # ``dtype`` is the XLA engine's compute dtype; the Pallas kernel
+    # always computes in f32 and its VMEM storage dtype is a separate
+    # knob (kw ``store_dtype``; default bfloat16 — f32 storage does not
+    # fit the scoped-VMEM ceiling for large codes).
+    kw = dict(kw_key)
+    store = jnp.dtype(kw.pop("store_dtype", jnp.bfloat16))
+    schedule = kw.pop("schedule", "flooding")
+    if kw:
+        raise ValueError(
+            f"unsupported pallas engine options: {sorted(kw)}")
+    key = ("pallas", id(code), code.name, max_iters, store.name, schedule,
+           nested)
     fn = _COUNTS_CACHE.get(key)
     if fn is None:
         from ..ops.pallas_static import make_static_sweep_decoder
         tile = 128
         dec = make_static_sweep_decoder(code, max_iters, tile_b=tile,
-                                        store_dtype=jnp.dtype(dtype_name),
+                                        store_dtype=store,
+                                        schedule=schedule,
                                         jit=not nested)
 
         def fn(llr):
@@ -267,20 +286,16 @@ def sweep_step(code: QCCode, max_iters: int = 50, *, kind: str = "min-sum",
     errors_uncoded, errors_decoded, iterations, success, sigma,
     sigma_actual.
     """
-    n = code.n
+    transmit = _transmit_fn(code.n, scale_llr)
     decode_fn = decoder_for_code(code, max_iters, kind=kind, dtype=dtype,
                                  **decoder_kw)
 
     @jax.jit
     def step(key, snr_db):
-        b = snr_db.shape[0]
-        clean = jnp.full((b, n), -1.0, jnp.float32)
-        noisy, sigma, sigma_actual = awgn(key, clean, snr_db)
-        senseword = noisy > 0
-        llr = llr_from_channel(noisy, sigma) if scale_llr else noisy
+        llr, sigma, sigma_actual, unc = transmit(key, snr_db)
         res = decode_fn(llr)
         return {
-            "errors_uncoded": jnp.sum(senseword, axis=-1, dtype=jnp.int32),
+            "errors_uncoded": unc,
             "errors_decoded": jnp.sum(
                 res.hard.astype(jnp.int32), axis=-1),
             "iterations": res.iterations,
@@ -359,12 +374,15 @@ def evaluate_code(code: QCCode,
             stats = BerStatistics(code.n)
     root = jax.random.key(seed)
     for s_idx, snr in enumerate(snr_points):
-        already = stats.column("weight")[
-            stats.column("snr") == snr].sum() if len(stats) else 0
+        already = int(stats.column("weight")[
+            stats.column("snr") == snr].sum()) if len(stats) else 0
         if already >= num_transmissions:
             continue  # resumed past this point
         t0 = time.time()
-        done_words = 0
+        # Resume mid-point without double counting: the checkpointed
+        # batches used keys fold_in(.., 0..already-1), so starting
+        # done_words there continues with fresh draws.
+        done_words = already
         point_errs = 0
         while done_words < num_transmissions:
             b = min(batch_size, num_transmissions - done_words)
