@@ -106,3 +106,36 @@ def test_layered_schedule_converges_faster(wifi):
     probe = jnp.tile(epsilon_probe(wifi.n, flips=(3,)), (4, 1))
     e, it, ok = [np.asarray(v) for v in layer(probe)]
     assert ok.all() and e.sum() == 0
+
+
+def test_static_kernel_random_qc_codes():
+    """Generality: random QC structures (mixed block weights including
+    zero blocks, odd z values forcing the mod-z fixup) match the XLA
+    decoder exactly in f32."""
+    from ldpc_tpu.codes.qc import QCCode
+
+    rng = np.random.default_rng(7)
+    for trial, (z, mb, nb) in enumerate([(21, 2, 6), (13, 3, 7)]):
+        shifts = []
+        for r in range(mb):
+            row = []
+            for c in range(nb):
+                w = int(rng.integers(0, 3))  # weight 0-2 blocks
+                row.append(tuple(sorted(
+                    rng.choice(z, size=w, replace=False).tolist())))
+            # ensure no empty rows
+            if all(len(b) == 0 for b in row):
+                row[0] = (int(rng.integers(z)),)
+            shifts.append(tuple(row))
+        code = QCCode(z=z, shifts=tuple(shifts), name=f"rand{trial}")
+        noisy, _, _ = transmit_zero_codeword(jax.random.key(trial), 4,
+                                             code.n, 2.0)
+        ref = decode(code, noisy, max_iters=8)
+        dec = make_static_sweep_decoder(code, max_iters=8, tile_b=4,
+                                        store_dtype=jnp.float32,
+                                        interpret=True)
+        e, it, ok = dec(noisy)
+        assert np.array_equal(np.asarray(ref.hard).sum(axis=1),
+                              np.asarray(e))
+        assert np.array_equal(np.asarray(ref.iterations), np.asarray(it))
+        assert np.array_equal(np.asarray(ref.success), np.asarray(ok))
