@@ -57,7 +57,8 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
         shard_map = jax.shard_map
         if kind != "min-sum":
             raise ValueError("the pallas engine implements min-sum only")
-        interp = jax.default_backend() != "tpu"
+        from ..sim.evaluate import _on_tpu_hardware
+        interp = not _on_tpu_hardware()
         # jit=False: the kernel is traced inside the outer jitted step,
         # and its compiler options may only sit on a TOP-LEVEL jit (they
         # are attached to the outer jax.jit below).  The storage dtype is
@@ -74,6 +75,7 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
             check_vma=False)
         if not interp:
             opts = {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
+        # (on non-TPU backends interpret mode needs no options)
     else:
         decode_fn = decoder_for_code(code, max_iters, kind=kind,
                                      dtype=dtype, **decoder_kw)

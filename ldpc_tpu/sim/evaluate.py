@@ -105,7 +105,7 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
                                phase1_iters: int = 12,
                                redo_capacity: int | None = None,
                                kind: str = "min-sum", dtype=jnp.float32,
-                               store_dtype=None,
+                               store_dtype=None, schedule: str = "flooding",
                                engine: str = "xla", **decoder_kw):
     """Single-dispatch staged decode: the whole two-phase logic runs on
     device, so one host round trip covers a batch.
@@ -121,14 +121,24 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
     single-pass decoders (per-word convergence latching).
 
     ``dtype`` is the XLA engine's compute dtype; ``store_dtype`` is the
-    Pallas engine's VMEM storage dtype (default bfloat16 — see
+    Pallas engine's VMEM storage dtype (default bfloat16) and
+    ``schedule`` its message schedule — both phases share it, so a
+    staged "layered" decode equals a single-pass layered decode by the
+    same per-word latching argument (pallas engine only; see
     ``ops/pallas_static.py``).
 
     Returns a jitted ``fn(llr[B, n]) -> (errors, iterations, success)``.
     """
     del decoder_kw  # engine fns take no extra kwargs today
-    kw_key = (() if store_dtype is None
-              else (("store_dtype", jnp.dtype(store_dtype).name),))
+    if schedule != "flooding" and engine != "pallas":
+        raise ValueError("schedules other than flooding need the pallas "
+                         "engine")
+    kw_key = tuple(
+        kv for kv in (
+            ("store_dtype", jnp.dtype(store_dtype).name)
+            if store_dtype is not None else None,
+            ("schedule", schedule) if schedule != "flooding" else None)
+        if kv is not None)
 
     def build(b):
         cap = redo_capacity or max(1, b // 4)
@@ -189,6 +199,21 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
     return staged
 
 
+def _on_tpu_hardware() -> bool:
+    """True when the default device is a real TPU.
+
+    ``jax.default_backend()`` is NOT "tpu" on tunnelled backends (this
+    container's platform is "axon" with TPU devices behind it), so check
+    the device itself.
+    """
+    try:
+        dev = jax.devices()[0]
+    except Exception:  # noqa: BLE001 — no backend at all
+        return False
+    return (dev.platform in ("tpu", "axon")
+            or "TPU" in getattr(dev, "device_kind", ""))
+
+
 _COUNTS_CACHE: dict = {}
 
 
@@ -244,10 +269,12 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
     fn = _COUNTS_CACHE.get(key)
     if fn is None:
         from ..ops.pallas_static import make_static_sweep_decoder
-        tile = 128
+        interp = not _on_tpu_hardware()
+        tile = 4 if interp else 128   # interpret mode: small tiles, CPU
         dec = make_static_sweep_decoder(code, max_iters, tile_b=tile,
                                         store_dtype=store,
                                         schedule=schedule,
+                                        interpret=interp,
                                         jit=not nested)
 
         def fn(llr):
@@ -265,7 +292,7 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
 
 def _pallas_compiler_options(engine: str):
     """Top-level-jit compiler options required by the pallas engine."""
-    if engine != "pallas" or jax.default_backend() != "tpu":
+    if engine != "pallas" or not _on_tpu_hardware():
         return None
     from ..ops.pallas_static import _SCOPED_VMEM_KIB
     return {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}

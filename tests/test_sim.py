@@ -240,3 +240,30 @@ def test_device_staged_word_zero_failure_not_clobbered():
     assert np.array_equal(e, np.asarray(ref.hard).sum(axis=1))
     assert np.array_equal(it, np.asarray(ref.iterations))
     assert np.array_equal(ok, np.asarray(ref.success))
+
+
+def test_device_staged_layered_matches_single_pass_layered():
+    """A staged layered decode equals the single-pass layered kernel
+    (same latching argument as flooding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ldpc_tpu.codes import wifi_code
+    from ldpc_tpu.ops.pallas_static import make_static_sweep_decoder
+    from ldpc_tpu.sim.channel import transmit_zero_codeword
+    from ldpc_tpu.sim.evaluate import make_staged_decoder_device
+
+    wifi = wifi_code()
+    B = 8
+    llr, _, _ = transmit_zero_codeword(jax.random.key(23), B, wifi.n, 2.4)
+    single = make_static_sweep_decoder(wifi, 16, tile_b=4,
+                                       store_dtype=jnp.float32,
+                                       schedule="layered", interpret=True)
+    e0, it0, ok0 = [np.asarray(v) for v in single(llr)]
+    staged = make_staged_decoder_device(
+        wifi, 16, phase1_iters=3, redo_capacity=4, engine="pallas",
+        store_dtype=jnp.float32, schedule="layered")
+    e1, it1, ok1 = [np.asarray(v) for v in staged(llr)]
+    assert np.array_equal(e0, e1)
+    assert np.array_equal(it0, it1)
+    assert np.array_equal(ok0, ok1)
