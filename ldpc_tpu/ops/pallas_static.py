@@ -78,7 +78,8 @@ _SCOPED_VMEM_KIB = 21 * 1024
 
 
 def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
-                  store_dtype, schedule: str, interpret: bool):
+                  store_dtype, schedule: str, kind: str, alpha: float,
+                  beta: float, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -149,11 +150,23 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
 
         def _recon(stats, d):
             """c2v message of edge d from compressed stats
-            (m1, m2, am, sp, bits)."""
+            (m1, m2, am, sp, bits).
+
+            The min-sum variants act on the reconstruction only: the
+            normalized rule scales the outgoing magnitude by alpha, the
+            offset rule subtracts beta with a floor at zero
+            (ops/decoder.py applies the same rules to its materialised
+            messages) — the compressed state stays the raw two-min.
+            """
             m1, m2, am, sp, bits = stats
             bit = (bits >> d) & 1
             sgn = sp * (1.0 - 2.0 * bit.astype(f32))
-            return sgn * jnp.where(am == f32(d), m2, m1)
+            mag = jnp.where(am == f32(d), m2, m1)
+            if kind == "normalized-min-sum":
+                mag = mag * f32(alpha)
+            elif kind == "offset-min-sum":
+                mag = jnp.maximum(mag - f32(beta), 0.0)
+            return sgn * mag
 
         def _row_stats(mb, olds):
             """Scan block row mb: on-the-fly syndrome parity + fresh
@@ -317,6 +330,8 @@ _CACHE: dict = {}
 def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
                               tile_b: int = 128, store_dtype=jnp.bfloat16,
                               schedule: str = "flooding",
+                              kind: str = "min-sum", alpha: float = 0.75,
+                              beta: float = 0.15,
                               interpret: bool = False,
                               jit: bool = True):
     """Build the unrolled fused sweep decoder for a code.
@@ -338,6 +353,12 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     messages immediately — typically ~2x fewer sweeps to converge at
     equal or better BER (iterations then count sweeps).
 
+    ``kind``: "min-sum" (reference rule), "normalized-min-sum" (magnitude
+    scaled by ``alpha``) or "offset-min-sum" (magnitude offset by
+    ``beta``, floored at 0) — same variants as the XLA decoder.
+    Sum-product is XLA-only: its messages are not reconstructible from
+    the compressed two-min state.
+
     ``jit=False`` returns the untraced function for embedding in a larger
     jitted program (``compiler_options`` may only sit on a top-level jit;
     such callers must set ``xla_tpu_scoped_vmem_limit_kib`` >=
@@ -345,13 +366,18 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     """
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule: {schedule}")
+    if kind not in ("min-sum", "normalized-min-sum", "offset-min-sum"):
+        raise ValueError(f"unsupported kernel kind: {kind}")
+    a = float(alpha) if kind == "normalized-min-sum" else 0.0
+    b_off = float(beta) if kind == "offset-min-sum" else 0.0
     plan = DecodePlan.from_code(code)
     key = (plan.cache_key(), max_iters, tile_b,
-           jnp.dtype(store_dtype).name, schedule, interpret, jit)
+           jnp.dtype(store_dtype).name, schedule, kind, a, b_off,
+           interpret, jit)
     if key in _CACHE:
         return _CACHE[key]
     kernel_call = _build_kernel(plan, max_iters, tile_b, store_dtype,
-                                schedule, interpret)
+                                schedule, kind, a, b_off, interpret)
     nb_n, z = plan.block_cols, plan.z
     zp = -(-z // 8) * 8
     sd = jnp.dtype(store_dtype)

@@ -55,8 +55,10 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
         from ..ops.pallas_static import _SCOPED_VMEM_KIB, \
             make_static_sweep_decoder
         shard_map = jax.shard_map
-        if kind != "min-sum":
-            raise ValueError("the pallas engine implements min-sum only")
+        if kind not in ("min-sum", "normalized-min-sum",
+                        "offset-min-sum"):
+            raise ValueError("the pallas engine implements the min-sum "
+                             "family only")
         from ..sim.evaluate import _on_tpu_hardware
         interp = not _on_tpu_hardware()
         # jit=False: the kernel is traced inside the outer jitted step,
@@ -66,8 +68,8 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
         # dtype is a different knob and f32 storage does not fit the
         # scoped-VMEM ceiling for large codes.
         pall = make_static_sweep_decoder(
-            code, max_iters, tile_b=pallas_tile_b, interpret=interp,
-            jit=False)
+            code, max_iters, tile_b=pallas_tile_b, kind=kind,
+            interpret=interp, jit=False)
         counts_fn = shard_map(
             lambda llr: pall(llr), mesh=mesh,
             in_specs=P(DATA_AXIS, None),

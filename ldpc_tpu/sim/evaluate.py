@@ -252,8 +252,10 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
         return _counts_fn(code, max_iters, kind, dtype_name, kw_key)
     if engine != "pallas":
         raise ValueError(f"unknown decode engine: {engine}")
-    if kind != "min-sum":
-        raise ValueError("the pallas engine implements min-sum only")
+    if kind not in ("min-sum", "normalized-min-sum", "offset-min-sum"):
+        raise ValueError(
+            "the pallas engine implements the min-sum family only "
+            "(sum-product is not reconstructible from compressed state)")
     # ``dtype`` is the XLA engine's compute dtype; the Pallas kernel
     # always computes in f32 and its VMEM storage dtype is a separate
     # knob (kw ``store_dtype``; default bfloat16 — f32 storage does not
@@ -261,11 +263,13 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
     kw = dict(kw_key)
     store = jnp.dtype(kw.pop("store_dtype", jnp.bfloat16))
     schedule = kw.pop("schedule", "flooding")
+    alpha = float(kw.pop("alpha", 0.75))
+    beta = float(kw.pop("beta", 0.15))
     if kw:
         raise ValueError(
             f"unsupported pallas engine options: {sorted(kw)}")
     key = ("pallas", id(code), code.name, max_iters, store.name, schedule,
-           nested)
+           kind, alpha, beta, nested)
     fn = _COUNTS_CACHE.get(key)
     if fn is None:
         from ..ops.pallas_static import make_static_sweep_decoder
@@ -273,7 +277,8 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
         tile = 4 if interp else 128   # interpret mode: small tiles, CPU
         dec = make_static_sweep_decoder(code, max_iters, tile_b=tile,
                                         store_dtype=store,
-                                        schedule=schedule,
+                                        schedule=schedule, kind=kind,
+                                        alpha=alpha, beta=beta,
                                         interpret=interp,
                                         jit=not nested)
 

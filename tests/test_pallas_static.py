@@ -139,3 +139,18 @@ def test_static_kernel_random_qc_codes():
                               np.asarray(e))
         assert np.array_equal(np.asarray(ref.iterations), np.asarray(it))
         assert np.array_equal(np.asarray(ref.success), np.asarray(ok))
+
+
+@pytest.mark.parametrize("kind", ["normalized-min-sum", "offset-min-sum"])
+def test_static_kernel_minsum_variants_match_xla(wifi, kind):
+    """Normalized/offset min-sum reconstruction matches the XLA decoder's
+    materialised-message variants exactly (f32, short horizon)."""
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(4), 8, wifi.n, 2.0)
+    ref = decode(wifi, noisy, max_iters=10, kind=kind)
+    dec = make_static_sweep_decoder(wifi, max_iters=10, tile_b=4,
+                                    store_dtype=jnp.float32, kind=kind,
+                                    interpret=True)
+    e, it, ok = dec(noisy)
+    assert np.array_equal(np.asarray(ref.hard).sum(axis=1), np.asarray(e))
+    assert np.array_equal(np.asarray(ref.iterations), np.asarray(it))
+    assert np.array_equal(np.asarray(ref.success), np.asarray(ok))
