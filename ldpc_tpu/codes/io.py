@@ -199,8 +199,11 @@ def save_code_instance(code: QCCode, path, stats=None,
     name = ``{z}_{Mb}_{Nb}_{sha224(hex serialisation)}``.  Stored as ``.npz``
     (default) with the shift table and, when given, the scatter/aggregate
     stats produced by ``ldpc_tpu.sim.stats.BerStatistics``; ``fmt="mat"``
-    writes the reference's MATLAB format instead (scipy.io, same keys the
-    reference stores) for drop-in consumption by its tooling.
+    writes the reference's exact MATLAB schema instead — ``parityMatrix``
+    (dense H), ``fileName`` (hex serialisation), ``nonZero``, and the stats
+    keys ``snrData/berData/itrData/averageSnrAxis/
+    averageNumberOfIterations/evaluationTime`` (fileHandler.py:216-228) —
+    for drop-in consumption by the reference's tooling.
     """
     hex_name = code_hex_name(code)
     if file_name is None:
@@ -212,9 +215,10 @@ def save_code_instance(code: QCCode, path, stats=None,
         "hex_name": np.str_(hex_name),
         "evaluation_time": np.float64(evaluation_time),
     }
-    if stats is not None:
+    stats_v2 = stats.get_stats_v2() if stats is not None else None
+    if stats_v2 is not None:
         (scatter_snr, scatter_ber, scatter_itr, snr_axis, avg_snr_axis,
-         ber_data, avg_iters) = stats.get_stats_v2()
+         ber_data, avg_iters) = stats_v2
         payload.update(
             snrData=scatter_snr, berData=scatter_ber, itrData=scatter_itr,
             snrAxis=snr_axis, averageSnrAxis=avg_snr_axis,
@@ -223,8 +227,25 @@ def save_code_instance(code: QCCode, path, stats=None,
     os.makedirs(path, exist_ok=True)
     if fmt == "mat":
         from scipy.io import savemat
+        dense_h = code.to_dense()
+        mat_payload = {
+            "parityMatrix": dense_h,
+            "fileName": hex_name,
+            "nonZero": np.int64(int(dense_h.sum())),
+        }
+        if stats_v2 is not None:
+            (scatter_snr, scatter_ber, scatter_itr, _snr_axis, avg_snr_axis,
+             _ber_data, avg_iters) = stats_v2
+            mat_payload.update(
+                snrData=np.asarray(scatter_snr),
+                berData=np.asarray(scatter_ber),
+                itrData=np.asarray(scatter_itr),
+                averageSnrAxis=np.asarray(avg_snr_axis),
+                averageNumberOfIterations=np.asarray(avg_iters),
+                evaluationTime=np.float64(evaluation_time),
+            )
         full = os.path.join(str(path), file_name + ".mat")
-        savemat(full, {k: np.asarray(v) for k, v in payload.items()})
+        savemat(full, mat_payload)
     elif fmt == "npz":
         full = os.path.join(str(path), file_name + ".npz")
         np.savez(full, **payload)
@@ -241,10 +262,20 @@ def load_code_instance(path) -> tuple[QCCode, dict]:
         raw = loadmat(path)
         payload = {k: np.squeeze(v) for k, v in raw.items()
                    if not k.startswith("__")}
-        payload["first_rows"] = np.atleast_2d(raw["first_rows"])
-    else:
-        with np.load(path, allow_pickle=False) as data:
-            payload = {k: data[k] for k in data.files}
+        # Reference schema (fileHandler.py:216-228): dense 'parityMatrix' +
+        # hex 'fileName'.  Recover the QC structure from the dense matrix;
+        # z is inferred from the filename convention '{z}_{Mb}_{Nb}_{sha}'.
+        h = np.atleast_2d(raw["parityMatrix"])
+        stem = pathlib.Path(path).stem
+        try:
+            z = int(stem.split("_")[0])
+        except ValueError:
+            z = int(np.gcd(h.shape[0], h.shape[1]))
+        code = QCCode.from_dense(h, z=z,
+                                 name=str(payload.get("fileName", ""))[:16])
+        return code, payload
+    with np.load(path, allow_pickle=False) as data:
+        payload = {k: data[k] for k in data.files}
     code = QCCode.from_first_rows(payload["first_rows"],
                                   name=str(payload.get("hex_name", ""))[:16])
     return code, payload

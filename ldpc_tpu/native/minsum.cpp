@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 extern "C" {
@@ -67,7 +68,11 @@ int ldpc_min_sum_decode(const double* channel, int32_t n, int32_t m,
     std::memcpy(new_totals.data(), chan.data(), n * sizeof(double));
     for (int32_t r = 0; r < m; ++r) {
       const int32_t lo = row_ptr[r], hi = row_ptr[r + 1];
-      double min1 = HUGE_VAL, min2 = HUGE_VAL, sprod = 1.0;
+      // finite saturation (not HUGE_VAL): a degree-1 check emits
+      // max() on its only edge, matching ops/oracle.py and the TPU
+      // decoder's finfo-max two-min init instead of producing inf.
+      const double kSat = std::numeric_limits<double>::max();
+      double min1 = kSat, min2 = kSat, sprod = 1.0;
       int32_t amin = lo;
       for (int32_t e = lo; e < hi; ++e) {
         const double v = totals[col_idx[e]] - c2v[e];

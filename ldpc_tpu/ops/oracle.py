@@ -60,14 +60,21 @@ def dense_min_sum_decode(h: np.ndarray, channel: np.ndarray,
     for it in range(1, max_iters + 1):
         new_totals = channel.copy()
         for i, r in enumerate(rows):
+            if len(r) == 0:
+                continue
             incoming = totals[r] - c2v[i]
             sgn = np.where(incoming < 0, -1.0, 1.0)
             sign = np.prod(sgn)
             mag = np.abs(incoming)
             order = np.argsort(mag, kind="stable")
-            m0, m1 = order[0], order[1]
+            m0 = order[0]
+            # degree-1 checks have no extrinsic neighbours; the "second
+            # smallest" saturates to finfo.max, matching the TPU decoder's
+            # two-min init (decoder.py finfo-max fill) and the native
+            # engine's numeric_limits<double>::max().
+            m1mag = mag[order[1]] if len(r) > 1 else np.finfo(dtype).max
             out = mag[m0] * sign * sgn
-            out[m0] = mag[m1] * sign * sgn[m0]
+            out[m0] = m1mag * sign * sgn[m0]
             c2v[i] = out
             new_totals[r] += out
         totals = new_totals

@@ -1,11 +1,13 @@
 """Distributed layer: meshes, shardings, psum-merged evaluation (layer L5)."""
 
-from .mesh import (DATA_AXIS, data_sharding, initialize_distributed,
+from .mesh import (DATA_AXIS, DCN_AXIS, ICI_AXIS, data_sharding,
+                   initialize_distributed, make_hierarchical_mesh,
                    make_mesh, process_batch_slice, replicated_sharding)
 from .evaluate import evaluate_code_sharded, sharded_sweep_step
 
 __all__ = [
-    "DATA_AXIS", "data_sharding", "initialize_distributed", "make_mesh",
+    "DATA_AXIS", "DCN_AXIS", "ICI_AXIS", "data_sharding",
+    "initialize_distributed", "make_hierarchical_mesh", "make_mesh",
     "process_batch_slice", "replicated_sharding",
     "evaluate_code_sharded", "sharded_sweep_step",
 ]

@@ -29,6 +29,14 @@ from .mesh import DATA_AXIS, make_mesh
 __all__ = ["sharded_sweep_step", "evaluate_code_sharded"]
 
 
+def _batch_axes(mesh: Mesh):
+    """Mesh axes the batch dimension shards over: the flat data axis, or
+    ALL axes of a hierarchical (dcn, ici) mesh (dcn-major)."""
+    if DATA_AXIS in mesh.axis_names:
+        return DATA_AXIS
+    return tuple(mesh.axis_names)
+
+
 def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
                        kind: str = "min-sum", scale_llr: bool = False,
                        dtype=jnp.float32, engine: str = "xla",
@@ -48,7 +56,8 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
     interpret mode (sharding validation without TPU hardware).
     """
     n = code.n
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    batch_axes = _batch_axes(mesh)
+    data_sh = NamedSharding(mesh, P(batch_axes))
     repl = NamedSharding(mesh, P())
     opts = None
     if engine == "pallas":
@@ -59,8 +68,8 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
                         "offset-min-sum"):
             raise ValueError("the pallas engine implements the min-sum "
                              "family only")
-        from ..sim.evaluate import _on_tpu_hardware
-        interp = not _on_tpu_hardware()
+        from ..utils.device import on_tpu_hardware
+        interp = not on_tpu_hardware()
         # jit=False: the kernel is traced inside the outer jitted step,
         # and its compiler options may only sit on a TOP-LEVEL jit (they
         # are attached to the outer jax.jit below).  The storage dtype is
@@ -72,8 +81,8 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
             interpret=interp, jit=False)
         counts_fn = shard_map(
             lambda llr: pall(llr), mesh=mesh,
-            in_specs=P(DATA_AXIS, None),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=P(batch_axes, None),
+            out_specs=(P(batch_axes), P(batch_axes), P(batch_axes)),
             check_vma=False)
         if not interp:
             opts = {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
@@ -146,7 +155,7 @@ def evaluate_code_sharded(code: QCCode,
                               engine=engine, pallas_tile_b=pallas_tile_b)
     stats = stats if stats is not None else BerStatistics(code.n)
     root = jax.random.key(seed)
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    data_sh = NamedSharding(mesh, P(_batch_axes(mesh)))
     for s_idx, snr in enumerate(snr_points):
         t0 = time.time()
         done = 0

@@ -26,10 +26,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["initialize_distributed", "make_mesh", "data_sharding",
-           "replicated_sharding", "process_batch_slice", "DATA_AXIS"]
+__all__ = ["initialize_distributed", "make_mesh", "make_hierarchical_mesh",
+           "data_sharding", "replicated_sharding", "process_batch_slice",
+           "DATA_AXIS", "DCN_AXIS", "ICI_AXIS"]
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
 
 
 def initialize_distributed(coordinator_address: str | None = None,
@@ -63,10 +66,45 @@ def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(devices.reshape(-1), (axis_name,))
 
 
+def make_hierarchical_mesh(dcn: int | None = None, ici: int | None = None,
+                           devices=None) -> Mesh:
+    """A 2-D (dcn, ici) mesh for multi-slice runs.
+
+    ``dcn`` counts slices (data-center network axis, one entry per slice);
+    ``ici`` counts chips per slice (inter-chip interconnect axis).  Either
+    may be omitted and is inferred from the device count.  Shard batch axes
+    over BOTH axes with ``P((DCN_AXIS, ICI_AXIS), ...)`` so per-chip work
+    stays local and the stat psum rides ICI within a slice before crossing
+    DCN once.  Degenerates to ``dcn=1`` on a single slice — still a valid
+    mesh for every sharded path (the single-slice analog of the
+    reference's ``num_procs()==1`` no-op, mpi_pytorch.py:22-26).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    total = devices.size
+    if dcn is None and ici is None:
+        # one "slice" per process by default (the common pod topology)
+        dcn = max(1, jax.process_count())
+    if dcn is None:
+        dcn = total // ici
+    if ici is None:
+        ici = total // dcn
+    if dcn * ici != total:
+        raise ValueError(f"dcn*ici = {dcn}*{ici} != {total} devices")
+    return Mesh(devices.reshape(dcn, ici), (DCN_AXIS, ICI_AXIS))
+
+
 def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS,
                   rank: int = 2) -> NamedSharding:
-    """Shard the leading (batch) axis; replicate the rest."""
-    spec = P(axis_name, *([None] * (rank - 1)))
+    """Shard the leading (batch) axis; replicate the rest.
+
+    On a hierarchical (dcn, ici) mesh the batch axis is sharded over BOTH
+    axes (dcn-major, so one slice holds a contiguous batch range).
+    """
+    if axis_name not in mesh.axis_names:
+        axis = tuple(mesh.axis_names)
+        spec = P(axis, *([None] * (rank - 1)))
+    else:
+        spec = P(axis_name, *([None] * (rank - 1)))
     return NamedSharding(mesh, spec)
 
 

@@ -51,6 +51,12 @@ class PPOConfig:
     lam: float = 0.97
     target_kl: float = 0.01
     entropy_coefficient: float = 0.01   # CLI default, openAIppo.py:560
+    # The reference ADDS coef * iEntropy to the MINIMIZED loss
+    # (openAIppo.py:337) — an entropy *penalty*.  The default keeps that
+    # sign for parity; set entropy_bonus=True for the standard
+    # exploration bonus (entropy subtracted from the loss), which is
+    # what a long search should use.
+    entropy_bonus: bool = False
     policy_coefficient: float = 1.0
     seed: int = 30
     save_freq: int = 10
@@ -76,8 +82,9 @@ def make_update_fns(cfg: ActorCriticConfig, ppo_cfg: PPOConfig,
                             1 + ppo_cfg.clip_ratio) * adv
         loss_pi = -jnp.mean(jnp.minimum(ratio * adv, clip_adv))
         i_entropy = jnp.mean(out["entropy_per_head"][..., 0])
+        ent_sign = -1.0 if ppo_cfg.entropy_bonus else 1.0
         total = (ppo_cfg.policy_coefficient * loss_pi +
-                 ppo_cfg.entropy_coefficient * i_entropy)
+                 ent_sign * ppo_cfg.entropy_coefficient * i_entropy)
         approx_kl = jnp.mean(logp_old - logp)
         clipped = (ratio > 1 + ppo_cfg.clip_ratio) | (
             ratio < 1 - ppo_cfg.clip_ratio)
@@ -216,6 +223,10 @@ def ppo(env_fn: Callable, ppo_cfg: PPOConfig | None = None,
         logp_b = jnp.asarray(data["logp"])
 
         stop_iter = ppo_cfg.train_pi_iters
+        # defaults cover train_pi_iters=0 / train_v_iters=0 (the loops
+        # below then never bind extras / v_l)
+        extras = {"loss_pi": np.nan, "kl": 0.0, "clipfrac": np.nan}
+        v_l = np.nan
         for i in range(ppo_cfg.train_pi_iters):
             actor_params, pi_opt_state, extras = pi_update(
                 actor_params, pi_opt_state, obs_b, act_b, adv_b, logp_b)

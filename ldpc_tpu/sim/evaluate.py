@@ -199,19 +199,8 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
     return staged
 
 
-def _on_tpu_hardware() -> bool:
-    """True when the default device is a real TPU.
-
-    ``jax.default_backend()`` is NOT "tpu" on tunnelled backends (this
-    container's platform is "axon" with TPU devices behind it), so check
-    the device itself.
-    """
-    try:
-        dev = jax.devices()[0]
-    except Exception:  # noqa: BLE001 — no backend at all
-        return False
-    return (dev.platform in ("tpu", "axon")
-            or "TPU" in getattr(dev, "device_kind", ""))
+# Single capability probe shared by all engines (sim, parallel, bench).
+from ..utils.device import on_tpu_hardware as _on_tpu_hardware  # noqa: E402
 
 
 _COUNTS_CACHE: dict = {}
@@ -221,7 +210,10 @@ def _counts_fn(code: QCCode, max_iters: int, kind: str, dtype_name: str,
                kw_key):
     """Jitted decode-to-counts: D2H ships only [B] vectors, never the
     [B, n] hard-decision tensor."""
-    key = (id(code), code.name, max_iters, kind, dtype_name, kw_key)
+    # QCCode is a frozen dataclass — structurally hashable, so two codes
+    # with equal shift tables share one compiled decoder and a GC'd code
+    # can never alias a new one (id() keys could).
+    key = (code, max_iters, kind, dtype_name, kw_key)
     fn = _COUNTS_CACHE.get(key)
     if fn is None:
         dec = decoder_for_code(code, max_iters, kind=kind,
@@ -268,7 +260,7 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
     if kw:
         raise ValueError(
             f"unsupported pallas engine options: {sorted(kw)}")
-    key = ("pallas", id(code), code.name, max_iters, store.name, schedule,
+    key = ("pallas", code, max_iters, store.name, schedule,
            kind, alpha, beta, nested)
     fn = _COUNTS_CACHE.get(key)
     if fn is None:
@@ -378,11 +370,12 @@ def evaluate_code(code: QCCode,
     exceeds this reference value (the reference's early abort,
     ldpc.py:473-475 / the env's budget guard).
 
-    ``staged=True`` decodes each batch in two phases (see
-    :func:`staged_decode_counts`) — bit-identical statistics, ~3x faster
-    at operating SNRs.  ``engine="pallas"`` additionally routes the
-    staged decodes through the VMEM-resident kernel
-    (``ops/pallas_static.py``).
+    ``staged=True`` decodes each batch in two phases with the whole
+    gather/re-decode/merge jitted on device (one dispatch per batch, see
+    :func:`make_staged_decoder_device`) — bit-identical statistics, ~3x
+    faster at operating SNRs and round-trip-free through high-latency
+    links.  ``engine="pallas"`` additionally routes the staged decodes
+    through the VMEM-resident kernel (``ops/pallas_static.py``).
 
     ``checkpoint_path``: save the accumulated statistics after every SNR
     point and, on restart, resume by skipping points already completed
@@ -395,6 +388,9 @@ def evaluate_code(code: QCCode,
     """
     if staged:
         transmit = _transmit_fn(code.n, scale_llr)
+        staged_dec = make_staged_decoder_device(
+            code, max_iters, phase1_iters=phase1_iters, kind=kind,
+            dtype=dtype, engine=engine)
     else:
         step = sweep_step(code, max_iters, kind=kind, scale_llr=scale_llr,
                           dtype=dtype)
@@ -413,9 +409,13 @@ def evaluate_code(code: QCCode,
         t0 = time.time()
         # Resume mid-point without double counting: the checkpointed
         # batches used keys fold_in(.., 0..already-1), so starting
-        # done_words there continues with fresh draws.
+        # done_words there continues with fresh draws.  Seed the running
+        # error count from the checkpointed entries so the verbose BER
+        # and the early-abort comparison cover the WHOLE point, not just
+        # the post-resume batches.
         done_words = already
-        point_errs = 0
+        point_errs = int(stats.column("errors_decoded")[
+            stats.column("snr") == snr].sum()) if already else 0
         while done_words < num_transmissions:
             b = min(batch_size, num_transmissions - done_words)
             key = jax.random.fold_in(jax.random.fold_in(root, s_idx),
@@ -423,17 +423,15 @@ def evaluate_code(code: QCCode,
             if staged:
                 llr, sigma, sigma_actual, unc = transmit(
                     key, jnp.full((b,), snr, jnp.float32))
-                errs, iters, ok = staged_decode_counts(
-                    code, llr, max_iters, phase1_iters=phase1_iters,
-                    kind=kind, dtype=dtype, engine=engine)
-                out = {
-                    "errors_uncoded": jax.device_get(unc),
+                errs, iters, ok = staged_dec(llr)
+                out = jax.device_get({
+                    "errors_uncoded": unc,
                     "errors_decoded": errs,
                     "iterations": iters,
                     "success": ok,
-                    "sigma": jax.device_get(sigma),
-                    "sigma_actual": jax.device_get(sigma_actual),
-                }
+                    "sigma": sigma,
+                    "sigma_actual": sigma_actual,
+                })
             else:
                 out = jax.device_get(
                     step(key, jnp.full((b,), snr, jnp.float32)))

@@ -45,11 +45,36 @@ def _is_chief() -> bool:
         return True
 
 
-def statistics_scalar(x, with_min_and_max: bool = False):
-    """mean/std(/min/max) of an array — the mpi_statistics_scalar
-    equivalent (mpi_tools.py:73-95) computed locally; multi-host callers
-    pre-reduce via psum before logging."""
-    x = np.asarray(x, np.float64)
+def statistics_scalar(x, with_min_and_max: bool = False,
+                      distributed: bool = True):
+    """Global mean/std(/min/max) of an array across processes — the
+    ``mpi_statistics_scalar`` equivalent (mpi_tools.py:73-95).
+
+    With ``distributed=True`` (default) and a multi-process JAX runtime,
+    the five sufficient statistics [sum, sumsq, n, min, max] are
+    all-gathered across hosts (one tiny collective) and combined, exactly
+    like the reference's MPI sum-reductions; single-process runs take the
+    local path (the ``num_procs()==1`` no-op, mpi_tools.py:75).
+    """
+    x = np.asarray(x, np.float64).reshape(-1)
+    if x.size == 0:
+        x = np.zeros(1, np.float64)
+    if distributed:
+        import jax
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            local = np.array([x.sum(), (x ** 2).sum(), float(x.size),
+                              x.min(), x.max()], np.float64)
+            stats = np.asarray(multihost_utils.process_allgather(local))
+            total_n = stats[:, 2].sum()
+            mean = stats[:, 0].sum() / total_n
+            # global std from global second moment
+            std = float(np.sqrt(max(stats[:, 1].sum() / total_n -
+                                    mean ** 2, 0.0)))
+            if with_min_and_max:
+                return (float(mean), std,
+                        float(stats[:, 3].min()), float(stats[:, 4].max()))
+            return float(mean), std
     mean, std = float(x.mean()), float(x.std())
     if with_min_and_max:
         return mean, std, float(x.min()), float(x.max())

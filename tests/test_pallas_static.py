@@ -39,6 +39,7 @@ def test_static_kernel_matches_decoder_wifi(wifi):
         assert np.array_equal(np.asarray(ref.success), np.asarray(success))
 
 
+@pytest.mark.slow
 def test_static_kernel_bf16_statistically_close(wifi):
     """bf16 storage: converged words agree with the bf16 XLA decoder;
     batch-level BER within a small tolerance."""
@@ -55,6 +56,7 @@ def test_static_kernel_bf16_statistically_close(wifi):
         <= 0.02 * wifi.n * 8 + 16
 
 
+@pytest.mark.slow
 def test_static_kernel_epsilon_probe_deterministic(wifi):
     """The reference's deterministic probe (single bit flip,
     ldpc.py:417-418): must correct it in one iteration, zero errors."""
@@ -85,6 +87,7 @@ def test_static_kernel_near_earth_small():
     assert np.array_equal(np.asarray(ref.success), np.asarray(success))
 
 
+@pytest.mark.slow
 def test_layered_schedule_converges_faster(wifi):
     """Serial-C schedule: fewer sweeps than flooding on average, BER no
     worse (MC tolerance), and the epsilon probe still decodes exactly."""
@@ -142,6 +145,7 @@ def test_static_kernel_random_qc_codes():
 
 
 @pytest.mark.parametrize("kind", ["normalized-min-sum", "offset-min-sum"])
+@pytest.mark.slow
 def test_static_kernel_minsum_variants_match_xla(wifi, kind):
     """Normalized/offset min-sum reconstruction matches the XLA decoder's
     materialised-message variants exactly (f32, short horizon)."""

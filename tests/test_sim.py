@@ -242,6 +242,7 @@ def test_device_staged_word_zero_failure_not_clobbered():
     assert np.array_equal(ok, np.asarray(ref.success))
 
 
+@pytest.mark.slow
 def test_device_staged_layered_matches_single_pass_layered():
     """A staged layered decode equals the single-pass layered kernel
     (same latching argument as flooding)."""
