@@ -10,10 +10,13 @@ from .io import (bits_to_hex, code_hex_name, hex_to_bits, load_code_instance,
                  read_qc_parity, save_code_instance, save_code_json)
 from .ccsds import (near_earth_code, near_earth_generator_dense,
                     near_earth_generator_rows)
-from .wifi import WIFI_1944_81_RATE_5_6, from_prototype, wifi_code
+from .wifi import (WIFI_1944_81_RATE_1_2, WIFI_1944_81_RATE_2_3,
+                   WIFI_1944_81_RATE_3_4, WIFI_1944_81_RATE_5_6,
+                   from_prototype, wifi_code, wifi_rates)
 from .codec import compress, observation_bytes, uncompress
 from .perturb import zero_circulant, zeroed_circulant_suite, write_suite
-from .encode import encode, encoder_for_code, make_encoder
+from .encode import (encode, encoder_for_code, make_encoder,
+                     parity_part_from_h)
 
 __all__ = [
     "QCCode", "edges_by_block_col", "edges_by_block_row",
@@ -23,8 +26,10 @@ __all__ = [
     "load_code_instance",
     "near_earth_code", "near_earth_generator_rows",
     "near_earth_generator_dense",
-    "WIFI_1944_81_RATE_5_6", "from_prototype", "wifi_code",
+    "WIFI_1944_81_RATE_1_2", "WIFI_1944_81_RATE_2_3",
+    "WIFI_1944_81_RATE_3_4", "WIFI_1944_81_RATE_5_6",
+    "from_prototype", "wifi_code", "wifi_rates",
     "compress", "uncompress", "observation_bytes",
     "zero_circulant", "zeroed_circulant_suite", "write_suite",
-    "encode", "encoder_for_code", "make_encoder",
+    "encode", "encoder_for_code", "make_encoder", "parity_part_from_h",
 ]

@@ -21,7 +21,38 @@ import numpy as np
 
 from .qc import QCCode
 
-__all__ = ["make_encoder", "encoder_for_code", "encode"]
+__all__ = ["make_encoder", "encoder_for_code", "encode",
+           "parity_part_from_h"]
+
+
+def parity_part_from_h(h: np.ndarray) -> np.ndarray:
+    """Derive the systematic parity part A [k, m] from a dense H [m, n].
+
+    Splits H = [H1 | H2] (information | parity columns), inverts H2 over
+    GF(2) and returns A = (H2^-1 H1)^T so that ``c = [msg | msg . A]``
+    satisfies ``H c^T = 0``.  Raises ValueError when H2 is singular.
+    The reference never does this — its encoder needs a pre-computed
+    generator file (ldpc.py:409-414, fileHandler.py:234); here any code
+    whose parity square is invertible (e.g. the 802.11n dual-diagonal
+    family) is encodable directly from H.
+    """
+    h = np.asarray(h, np.uint8) & 1
+    m, n = h.shape
+    k = n - m
+    h1, h2 = h[:, :k].copy(), h[:, k:].copy()
+    # Gauss-Jordan over GF(2): reduce [H2 | H1] -> [I | H2^-1 H1]
+    aug = np.concatenate([h2, h1], axis=1)
+    for col in range(m):
+        piv_rows = np.nonzero(aug[col:, col])[0]
+        if piv_rows.size == 0:
+            raise ValueError(f"parity part singular at column {col}")
+        piv = col + int(piv_rows[0])
+        if piv != col:
+            aug[[col, piv]] = aug[[piv, col]]
+        elim = np.nonzero(aug[:, col])[0]
+        elim = elim[elim != col]
+        aug[elim] ^= aug[col]
+    return np.ascontiguousarray(aug[:, m:].T)
 
 
 def make_encoder(a_dense: np.ndarray):
@@ -44,18 +75,25 @@ def make_encoder(a_dense: np.ndarray):
 
 @functools.lru_cache(maxsize=8)
 def encoder_for_code(code: QCCode):
-    """Encoder for a shipped code (near-earth today).
+    """Encoder for any systematically-encodable code.
 
-    Raises ValueError when no generator is known for the code — mirroring
-    the reference's G='None' path (ldpc.py:409).
+    Near-earth uses the shipped CCSDS generator; every other code derives
+    its parity part from H over GF(2) (:func:`parity_part_from_h`) — in
+    particular the whole 802.11n dual-diagonal family.  Raises ValueError
+    only when the parity square of H is singular — the analog of the
+    reference's G='None' path (ldpc.py:409), which simply cannot encode.
     """
     from .ccsds import K, N, near_earth_code, near_earth_generator_dense
     if code.shifts == near_earth_code().shifts:
         g = near_earth_generator_dense()
         return make_encoder(g[:, K:])
-    raise ValueError(
-        f"no generator matrix known for code {code.name!r}; "
-        "use make_encoder with an explicit parity part")
+    try:
+        a = parity_part_from_h(code.to_dense())
+    except ValueError as e:
+        raise ValueError(
+            f"code {code.name!r} is not systematically encodable ({e}); "
+            "use make_encoder with an explicit parity part") from e
+    return make_encoder(a)
 
 
 def encode(code: QCCode, messages) -> jax.Array:

@@ -178,11 +178,63 @@ def test_encoder_produces_codewords():
     assert np.array_equal(np.asarray(res.hard), cw)
 
 
-def test_encoder_unknown_code_raises():
+def test_encoder_singular_code_raises():
+    """A code whose parity square is singular has no systematic encoder —
+    the analog of the reference's G='None' path (ldpc.py:409)."""
     from ldpc_tpu.codes import encoder_for_code
     import pytest as _pytest
+    # parity block I + P^2 over z=4 squares to zero mod 2 -> singular H2
+    singular = QCCode(z=4, shifts=(((0,), (1,), (0, 2)),))
     with _pytest.raises(ValueError):
-        encoder_for_code(wifi_code())
+        encoder_for_code(singular)
+
+
+def test_wifi_family_tables_structure():
+    """802.11n n=1944 family invariants (IEEE 802.11n-2009 Annex R): all
+    four rates present; shifts in [0, 81); parity part = weight-3 first
+    column with shifts (1, 0, 1) at (top, middle-ish, bottom) plus a pure
+    dual diagonal of 0-shift blocks (the structure that makes the family
+    O(n)-encodable)."""
+    from ldpc_tpu.codes import wifi_rates
+    assert wifi_rates(1944) == [1 / 2, 2 / 3, 3 / 4, 5 / 6]
+    for rate, mb in [(1 / 2, 12), (2 / 3, 8), (3 / 4, 6), (5 / 6, 4)]:
+        code = wifi_code(1944, rate)
+        assert (code.z, code.n, code.block_rows, code.block_cols) == \
+            (81, 1944, mb, 24)
+        assert code.k == 1944 - mb * 81
+        kb = 24 - mb
+        for row in code.shifts:
+            for blk in row:
+                assert all(0 <= s < 81 for s in blk)
+        # first parity column: exactly rows {0, middle, mb-1} with
+        # shifts (1, 0, 1)
+        col = [code.shifts[r][kb] for r in range(mb)]
+        hot = [r for r, blk in enumerate(col) if blk]
+        assert len(hot) == 3 and hot[0] == 0 and hot[-1] == mb - 1
+        assert col[hot[0]] == (1,) and col[hot[1]] == (0,) \
+            and col[hot[2]] == (1,)
+        # dual diagonal: parity column kb+1+j has 0-shift blocks at rows
+        # j and j+1 only
+        for j in range(mb - 1):
+            for r in range(mb):
+                blk = code.shifts[r][kb + 1 + j]
+                assert blk == ((0,) if r in (j, j + 1) else ())
+
+
+@pytest.mark.parametrize("rate", [1 / 2, 2 / 3, 3 / 4, 5 / 6])
+def test_wifi_family_encodable(rate):
+    """Every 802.11n rate systematically encodes: H . c == 0, message
+    preserved (generic GF(2) parity-part derivation, no generator file)."""
+    from ldpc_tpu.codes import encoder_for_code
+    code = wifi_code(1944, rate)
+    enc = encoder_for_code(code)
+    rng = np.random.RandomState(3)
+    msgs = rng.randint(0, 2, (4, code.k))
+    cw = np.asarray(enc(msgs))
+    assert np.array_equal(cw[:, :code.k], msgs)
+    h = code.to_dense(np.int8)
+    syn = (h.astype(np.int64) @ cw.T.astype(np.int64)) % 2
+    assert not syn.any()
 
 
 import os
