@@ -130,14 +130,17 @@ class LdpcCodeSearchEnv:
         return (max(code.row_degrees()) <= self.dmax_cn_cap and
                 max(code.col_degrees()) <= self.dmax_vn_cap)
 
-    def evaluate_code(self) -> BerStatistics:
-        """Monte-Carlo evaluate the current state (ldpc_env.py:353-377)."""
+    def _transmit(self):
+        """Sample this step's (SNR x transmissions) LLR batch.
+
+        Draws from the env's own RandomState, so batched multi-env stepping
+        consumes exactly the same randomness per env as sequential stepping.
+        """
         import jax
         import jax.numpy as jnp
 
         from ..sim.channel import awgn
 
-        t0 = time.time()
         t = self.num_transmissions
         snr_per_word = np.repeat(self.snr_points, t)
         b = snr_per_word.shape[0]
@@ -145,7 +148,10 @@ class LdpcCodeSearchEnv:
         clean = jnp.full((b, self.state.n), -1.0, jnp.float32)
         noisy, sigma, sigma_actual = awgn(
             key, clean, jnp.asarray(snr_per_word, jnp.float32))
-        res = self._decode_batched(self.state, noisy)
+        return snr_per_word, noisy, sigma, sigma_actual
+
+    def _stats_from_decode(self, snr_per_word, noisy, sigma, sigma_actual,
+                           res) -> BerStatistics:
         errs_unc = np.asarray((np.asarray(noisy) > 0).sum(axis=1))
         errs_dec = np.asarray(res.hard, np.int64).sum(axis=1)
         stats = BerStatistics(self.state.n)
@@ -155,8 +161,21 @@ class LdpcCodeSearchEnv:
                         iterations=np.asarray(res.iterations),
                         max_iterations=self.num_iterations,
                         success=np.asarray(res.success))
-        self.accumulated_evaluation_time += time.time() - t0
+        return stats
+
+    def _charge(self, wall_s: float, res) -> None:
+        """Accrue this step's evaluation cost against the episode budgets."""
+        self.accumulated_evaluation_time += wall_s
         self.accumulated_iterations += int(np.asarray(res.iterations).sum())
+
+    def evaluate_code(self) -> BerStatistics:
+        """Monte-Carlo evaluate the current state (ldpc_env.py:353-377)."""
+        t0 = time.time()
+        snr_per_word, noisy, sigma, sigma_actual = self._transmit()
+        res = self._decode_batched(self.state, noisy)
+        stats = self._stats_from_decode(snr_per_word, noisy, sigma,
+                                        sigma_actual, res)
+        self._charge(time.time() - t0, res)
         return stats
 
     # ------------------------------------------------------------------
@@ -174,7 +193,8 @@ class LdpcCodeSearchEnv:
         rest = action[xb + yb:]
         return x, y, rest
 
-    def step(self, action):
+    def _prepare_step(self, action):
+        """Action -> (legal, candidate code) without evaluating."""
         x, y, rest = self._split_action(action)
         legal = x < self.state.block_rows and y < self.state.block_cols
         candidate = None
@@ -195,10 +215,12 @@ class LdpcCodeSearchEnv:
                 candidate = self.state.replace_block(x, y, rest)
             if candidate is not None and not self._degrees_ok(candidate):
                 legal, candidate = False, None
+        return legal and candidate is not None, candidate
 
-        if legal and candidate is not None:
-            self.state = candidate
-            self.ber_stats = self.evaluate_code()
+    def _finish_step(self, legal: bool, stats: BerStatistics | None):
+        """Reward from the evaluated stats + budget/done/obs bookkeeping."""
+        if legal and stats is not None:
+            self.ber_stats = stats
             (scatter_snr, scatter_ber, _, _, _, ber_data,
              _) = self.ber_stats.get_stats_v2()
             self.scatter_snr, self.scatter_ber = scatter_snr, scatter_ber
@@ -218,6 +240,14 @@ class LdpcCodeSearchEnv:
             "accumulated_iterations": self.accumulated_iterations,
         }
         return self.observed_state, float(reward), bool(done), info
+
+    def step(self, action):
+        legal, candidate = self._prepare_step(action)
+        stats = None
+        if legal:
+            self.state = candidate
+            stats = self.evaluate_code()
+        return self._finish_step(legal, stats)
 
     def reset(self):
         self.state = self.reset_value

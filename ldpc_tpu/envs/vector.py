@@ -2,14 +2,19 @@
 
 The reference pins one env per CUDA device and steps them through a
 ``ProcessPoolExecutor`` (envContainer.py:10-57).  On TPU each env step is
-already a single batched device call that can saturate the chip (and shard
-across a mesh), so the vector container is plain sequential composition —
-no process pools, no pickling; the accelerator parallelism lives inside
-each step.
+already a single batched device call, so the container composes envs on ONE
+device and — when every env shares a decode-shape family — fuses all N
+candidate evaluations of a vector step into a SINGLE dispatch of the
+vmapped dynamic-plan decoder (``ops.dynamic.make_multi_dynamic_decoder``):
+the candidate axis becomes a tensor axis instead of a Python loop or a
+process pool.  Per-env results are identical to sequential stepping (each
+env draws from its own RandomState; per-word convergence latching makes the
+shared while_loop trip count invisible).
 """
 
 from __future__ import annotations
 
+import time
 from typing import Callable, Sequence
 
 import numpy as np
@@ -25,15 +30,23 @@ class EnvironmentVector:
     ``step`` takes one action per env and returns stacked observations,
     rewards, dones and an info list — the interface of
     ``multiDeviceEnvironment.step`` (envContainer.py:38-56).
+
+    ``batched=None`` (default) auto-detects whether the envs share a decode
+    shape family and fuses their evaluations into one device dispatch;
+    ``False`` forces sequential stepping, ``True`` asserts fusibility.
     """
 
     def __init__(self, env_fns: Sequence[Callable[[], LdpcCodeSearchEnv]]
-                 | int = 1, **env_kwargs):
+                 | int = 1, batched: bool | None = None, **env_kwargs):
         if isinstance(env_fns, int):
             self.envs = [LdpcCodeSearchEnv(**env_kwargs)
                          for _ in range(env_fns)]
         else:
             self.envs = [fn() for fn in env_fns]
+        self.batched = batched
+        if batched and not self._can_batch():
+            raise ValueError("batched=True but envs do not share a decode "
+                             "shape family / dynamic backend")
 
     def __len__(self):
         return len(self.envs)
@@ -49,13 +62,61 @@ class EnvironmentVector:
     def reset(self) -> np.ndarray:
         return np.stack([e.reset() for e in self.envs])
 
+    def _can_batch(self) -> bool:
+        keys = {(e.decoder_backend, e.state.z, e.state.block_rows,
+                 e.state.block_cols, e.dmax_cn_cap, e.dmax_vn_cap,
+                 e.num_iterations, e.decoder_kind, e.state.n,
+                 tuple(e.snr_points), e.num_transmissions)
+                for e in self.envs}
+        return (len(keys) == 1 and len(self.envs) > 1
+                and self.envs[0].decoder_backend == "dynamic")
+
     def step(self, actions):
-        results = [e.step(a) for e, a in zip(self.envs, actions)]
+        batched = self.batched if self.batched is not None else (
+            self._can_batch())
+        results = (self._step_batched(actions) if batched else
+                   [e.step(a) for e, a in zip(self.envs, actions)])
         obs = np.stack([r[0] for r in results])
         rewards = np.array([r[1] for r in results], np.float64)
         dones = np.array([r[2] for r in results], bool)
         infos = [r[3] for r in results]
         return obs, rewards, dones, infos
+
+    def _step_batched(self, actions):
+        """All legal candidates of one vector step in ONE device dispatch."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.dynamic import (dynamic_plan, make_multi_dynamic_decoder,
+                                   stack_plans)
+
+        prep = [e._prepare_step(a) for e, a in zip(self.envs, actions)]
+        live = [i for i, (legal, _) in enumerate(prep) if legal]
+        stats = [None] * len(self.envs)
+        if live:
+            t0 = time.time()
+            for i in live:
+                self.envs[i].state = prep[i][1]
+            trans = [self.envs[i]._transmit() for i in live]
+            e0 = self.envs[live[0]]
+            plans = stack_plans([
+                dynamic_plan(self.envs[i].state, e0.dmax_cn_cap,
+                             e0.dmax_vn_cap) for i in live])
+            llr = jnp.stack([tr[1] for tr in trans])
+            dec = make_multi_dynamic_decoder(
+                e0.z, e0.state.block_rows, e0.state.block_cols,
+                e0.dmax_cn_cap, e0.dmax_vn_cap, e0.num_iterations,
+                kind=e0.decoder_kind)
+            res = jax.device_get(dec(plans, llr))
+            wall = time.time() - t0
+            for j, i in enumerate(live):
+                res_i = jax.tree.map(lambda x, j=j: x[j], res)
+                stats[i] = self.envs[i]._stats_from_decode(
+                    trans[j][0], trans[j][1], trans[j][2], trans[j][3],
+                    res_i)
+                self.envs[i]._charge(wall / len(live), res_i)
+        return [e._finish_step(prep[i][0], stats[i])
+                for i, e in enumerate(self.envs)]
 
     def seed(self, seeds=None):
         if seeds is None:

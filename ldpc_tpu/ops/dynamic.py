@@ -30,7 +30,8 @@ from ..codes.qc import QCCode
 from .decoder import DecodeResult, _check_node_update
 from .plan import DecodePlan
 
-__all__ = ["DynamicPlan", "make_dynamic_decoder", "dynamic_plan"]
+__all__ = ["DynamicPlan", "make_dynamic_decoder", "dynamic_plan",
+           "make_multi_dynamic_decoder", "stack_plans"]
 
 
 @jax.tree_util.register_dataclass
@@ -94,16 +95,13 @@ def dynamic_plan(code: QCCode, dmax_cn: int | None = None,
 
 
 @functools.lru_cache(maxsize=32)
-def make_dynamic_decoder(z: int, block_rows: int, block_cols: int,
-                         dmax_cn: int, dmax_vn: int, max_iters: int = 50,
-                         *, kind: str = "min-sum", alpha: float = 0.75,
-                         beta: float = 0.15, dtype_name: str = "float32",
-                         keep_soft: bool = False):
-    """Jitted ``decode(plan: DynamicPlan, llr[B, n]) -> DecodeResult``.
-
-    Compiled once per (shape family, batch size); the plan is a runtime
-    argument, so mutated codes decode with zero recompilation.
-    """
+def _make_decode_fn(z: int, block_rows: int, block_cols: int,
+                    dmax_cn: int, dmax_vn: int, max_iters: int = 50,
+                    *, kind: str = "min-sum", alpha: float = 0.75,
+                    beta: float = 0.15, dtype_name: str = "float32",
+                    keep_soft: bool = False):
+    """Untraced ``decode(plan, llr[B, n]) -> DecodeResult`` for one shape
+    family (jitted/vmapped by the public constructors below)."""
     dtype = jnp.dtype(dtype_name)
     mb_n, nb_n, d_cn, d_vn = block_rows, block_cols, dmax_cn, dmax_vn
     s_n = mb_n * d_cn
@@ -183,4 +181,55 @@ def make_dynamic_decoder(z: int, block_rows: int, block_cols: int,
         return DecodeResult(hard=hard_bn.astype(jnp.int8), iterations=iters,
                             success=done, soft=soft_bn)
 
-    return jax.jit(decode_fn)
+    return decode_fn
+
+
+@functools.lru_cache(maxsize=32)
+def make_dynamic_decoder(z: int, block_rows: int, block_cols: int,
+                         dmax_cn: int, dmax_vn: int, max_iters: int = 50,
+                         *, kind: str = "min-sum", alpha: float = 0.75,
+                         beta: float = 0.15, dtype_name: str = "float32",
+                         keep_soft: bool = False):
+    """Jitted ``decode(plan: DynamicPlan, llr[B, n]) -> DecodeResult``.
+
+    Compiled once per (shape family, batch size); the plan is a runtime
+    argument, so mutated codes decode with zero recompilation.
+    """
+    return jax.jit(_make_decode_fn(
+        z, block_rows, block_cols, dmax_cn, dmax_vn, max_iters,
+        kind=kind, alpha=alpha, beta=beta, dtype_name=dtype_name,
+        keep_soft=keep_soft))
+
+
+def stack_plans(plans) -> DynamicPlan:
+    """Stack N same-shape-family plans into one [N, ...] pytree."""
+    keys = {p.shape_key for p in plans}
+    if len(keys) != 1:
+        raise ValueError(f"plans span several shape families: {keys}")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+
+
+@functools.lru_cache(maxsize=32)
+def make_multi_dynamic_decoder(z: int, block_rows: int, block_cols: int,
+                               dmax_cn: int, dmax_vn: int,
+                               max_iters: int = 50, *,
+                               kind: str = "min-sum", alpha: float = 0.75,
+                               beta: float = 0.15,
+                               dtype_name: str = "float32",
+                               keep_soft: bool = False):
+    """Jitted ``decode(plans: DynamicPlan[N, ...], llr[N, B, n])``.
+
+    One dispatch evaluates N mutated codes, each over its own [B]-word
+    Monte-Carlo batch — the RL search's candidate axis becomes a tensor
+    axis instead of a Python loop over env steps (the reference steps one
+    candidate per process-pool submit, envContainer.py:38-56 ->
+    ldpc_env.py:353-377).  Per-candidate results are identical to N
+    separate :func:`make_dynamic_decoder` calls (same update rule; the
+    batched ``while_loop`` runs until every candidate's words converge,
+    and per-word latching makes extra trailing iterations invisible).
+    """
+    decode_fn = _make_decode_fn(
+        z, block_rows, block_cols, dmax_cn, dmax_vn, max_iters,
+        kind=kind, alpha=alpha, beta=beta, dtype_name=dtype_name,
+        keep_soft=keep_soft)
+    return jax.jit(jax.vmap(decode_fn))

@@ -233,6 +233,41 @@ def test_dynamic_decoder_matches_static(wifi):
                               np.asarray(res_dyn.iterations))
 
 
+def test_multi_dynamic_decoder_matches_per_plan(wifi):
+    """One vmapped dispatch over N candidate codes must equal N separate
+    dynamic decodes (the RL candidate axis as a tensor axis; per-word
+    latching makes the shared while_loop trip count invisible)."""
+    from ldpc_tpu.ops.dynamic import (dynamic_plan, make_dynamic_decoder,
+                                      make_multi_dynamic_decoder, stack_plans)
+    key = jax.random.key(11)
+    codes = [wifi, wifi.replace_block(0, 0, (3, 77)),
+             wifi.replace_block(1, 2, (9,))]
+    noisy = jnp.stack([
+        transmit_zero_codeword(jax.random.fold_in(key, i), 6, wifi.n, 3.2)[0]
+        for i in range(len(codes))])
+    plans = [dynamic_plan(c, 24, 6) for c in codes]
+    multi = make_multi_dynamic_decoder(
+        wifi.z, wifi.block_rows, wifi.block_cols, dmax_cn=24, dmax_vn=6,
+        max_iters=15)
+    res = multi(stack_plans(plans), noisy)
+    single = make_dynamic_decoder(
+        wifi.z, wifi.block_rows, wifi.block_cols, dmax_cn=24, dmax_vn=6,
+        max_iters=15)
+    for i, plan in enumerate(plans):
+        ref = single(plan, noisy[i])
+        assert np.array_equal(np.asarray(res.hard[i]), np.asarray(ref.hard))
+        assert np.array_equal(np.asarray(res.iterations[i]),
+                              np.asarray(ref.iterations))
+        assert np.array_equal(np.asarray(res.success[i]),
+                              np.asarray(ref.success))
+
+
+def test_stack_plans_rejects_mixed_families(wifi):
+    from ldpc_tpu.ops.dynamic import dynamic_plan, stack_plans
+    with pytest.raises(ValueError):
+        stack_plans([dynamic_plan(wifi, 24, 6), dynamic_plan(wifi, 24, 8)])
+
+
 def test_dynamic_plan_degree_cap_enforced():
     from ldpc_tpu.ops.dynamic import dynamic_plan
     code = toy_code()

@@ -132,6 +132,45 @@ def test_env_reset_restores_initial_code():
     assert env.accumulated_evaluation_time == 0.0
 
 
+def test_environment_vector_batched_matches_sequential():
+    """Fused single-dispatch vector step (VERDICT #4) must reproduce
+    sequential per-env stepping: same rewards, iterations, states."""
+    def fns():
+        return [lambda: small_env(seed=1), lambda: small_env(seed=2),
+                lambda: small_env(seed=5)]
+
+    seq = EnvironmentVector(fns(), batched=False)
+    bat = EnvironmentVector(fns(), batched=True)
+    seq.reset(), bat.reset()
+    xb, yb = seq.envs[0].x_bits, seq.envs[0].y_bits
+    rng = np.random.RandomState(0)
+    for _ in range(2):
+        actions = []
+        for _ in range(3):
+            a = np.zeros(seq.action_space.shape[0], np.int32)
+            a[xb + yb + rng.randint(0, seq.envs[0].z)] = 1
+            actions.append(a)
+        # one deliberately illegal action (out-of-range block row)
+        actions[2][:xb] = 1
+        actions[2][0] = 1 if seq.envs[0].state.block_rows <= (
+            1 << (xb - 1)) else actions[2][0]
+        _, r_seq, d_seq, i_seq = seq.step(actions)
+        _, r_bat, d_bat, i_bat = bat.step(actions)
+        np.testing.assert_allclose(r_bat, r_seq, rtol=1e-6)
+        assert list(d_bat) == list(d_seq)
+        assert [i["legal"] for i in i_bat] == [i["legal"] for i in i_seq]
+        for es, eb in zip(seq.envs, bat.envs):
+            assert es.state.shifts == eb.state.shifts
+            assert es.accumulated_iterations == eb.accumulated_iterations
+
+
+def test_environment_vector_batched_rejects_mixed():
+    with pytest.raises(ValueError):
+        EnvironmentVector(
+            [lambda: small_env(seed=1),
+             lambda: small_env(seed=2, num_iterations=12)], batched=True)
+
+
 def test_environment_vector():
     vec = EnvironmentVector(
         [lambda: small_env(seed=1), lambda: small_env(seed=2)])
