@@ -1,15 +1,24 @@
 """Vectorized environments (reference ``envContainer.py`` equivalent).
 
 The reference pins one env per CUDA device and steps them through a
-``ProcessPoolExecutor`` (envContainer.py:10-57).  On TPU each env step is
-already a single batched device call, so the container composes envs on ONE
-device and — when every env shares a decode-shape family — fuses all N
-candidate evaluations of a vector step into a SINGLE dispatch of the
-vmapped dynamic-plan decoder (``ops.dynamic.make_multi_dynamic_decoder``):
-the candidate axis becomes a tensor axis instead of a Python loop or a
-process pool.  Per-env results are identical to sequential stepping (each
-env draws from its own RandomState; per-word convergence latching makes the
-shared while_loop trip count invisible).
+``ProcessPoolExecutor`` (envContainer.py:10-57).  Here the candidate axis
+of a vector step can become a TENSOR axis: when every env shares a decode
+shape family, all N candidate evaluations fuse into one dispatch of the
+vmapped dynamic-plan decoder (``ops.dynamic.make_multi_dynamic_decoder``),
+and with a ``mesh`` the stacked (plans, llr) shard over the candidate axis
+so each device evaluates its own candidates — the TPU-native equivalent of
+one-env-per-GPU, with zero host process pools.  Per-env results are
+identical to sequential stepping (each env draws from its own RandomState;
+per-word convergence latching makes the shared while_loop trip count
+invisible).
+
+Measured guidance (v5e, near-earth, ROADMAP.md): a SINGLE chip decodes one
+candidate's whole Monte-Carlo batch at full utilisation, and the vmapped
+per-candidate gathers lower worse than the single-plan ones — single-chip
+fusion is ~2x slower than sequential dispatch (0.9 vs 0.58 s/env-step at
+128 transmissions).  Fusion pays off when the candidate axis is sharded
+over devices.  Hence ``batched=None`` auto-fuses only when a mesh is
+given; ``batched=True`` forces single-device fusion.
 """
 
 from __future__ import annotations
@@ -31,19 +40,24 @@ class EnvironmentVector:
     rewards, dones and an info list — the interface of
     ``multiDeviceEnvironment.step`` (envContainer.py:38-56).
 
-    ``batched=None`` (default) auto-detects whether the envs share a decode
-    shape family and fuses their evaluations into one device dispatch;
-    ``False`` forces sequential stepping, ``True`` asserts fusibility.
+    ``batched=None`` (default) fuses the vector step into one sharded
+    dispatch when a ``mesh`` is given and the envs share a decode shape
+    family, else steps sequentially; ``True`` forces (single-device)
+    fusion, ``False`` forces sequential stepping.  ``mesh`` shards the
+    candidate axis of fused steps over its devices (len(envs) should be a
+    multiple of the mesh's device count).
     """
 
     def __init__(self, env_fns: Sequence[Callable[[], LdpcCodeSearchEnv]]
-                 | int = 1, batched: bool | None = None, **env_kwargs):
+                 | int = 1, batched: bool | None = None, mesh=None,
+                 **env_kwargs):
         if isinstance(env_fns, int):
             self.envs = [LdpcCodeSearchEnv(**env_kwargs)
                          for _ in range(env_fns)]
         else:
             self.envs = [fn() for fn in env_fns]
         self.batched = batched
+        self.mesh = mesh
         if batched and not self._can_batch():
             raise ValueError("batched=True but envs do not share a decode "
                              "shape family / dynamic backend")
@@ -73,7 +87,7 @@ class EnvironmentVector:
 
     def step(self, actions):
         batched = self.batched if self.batched is not None else (
-            self._can_batch())
+            self.mesh is not None and self._can_batch())
         results = (self._step_batched(actions) if batched else
                    [e.step(a) for e, a in zip(self.envs, actions)])
         obs = np.stack([r[0] for r in results])
@@ -103,6 +117,19 @@ class EnvironmentVector:
                 dynamic_plan(self.envs[i].state, e0.dmax_cn_cap,
                              e0.dmax_vn_cap) for i in live])
             llr = jnp.stack([tr[1] for tr in trans])
+            if self.mesh is not None:
+                # shard the candidate axis over the mesh: each device
+                # evaluates its own candidates (the reference's
+                # one-env-per-GPU, envContainer.py:10-27, without
+                # process pools)
+                from ..parallel.mesh import data_sharding
+                nd = len(self.mesh.devices.reshape(-1))
+                if len(live) % nd == 0:
+                    sh3 = data_sharding(self.mesh, rank=3)
+                    plans = jax.tree.map(
+                        lambda x: jax.device_put(x, data_sharding(
+                            self.mesh, rank=x.ndim)), plans)
+                    llr = jax.device_put(llr, sh3)
             dec = make_multi_dynamic_decoder(
                 e0.z, e0.state.block_rows, e0.state.block_cols,
                 e0.dmax_cn_cap, e0.dmax_vn_cap, e0.num_iterations,

@@ -164,6 +164,35 @@ def test_environment_vector_batched_matches_sequential():
             assert es.accumulated_iterations == eb.accumulated_iterations
 
 
+def test_environment_vector_mesh_sharded_matches_sequential():
+    """With a mesh, the vector step shards the candidate axis over
+    devices (one-env-per-device, envContainer.py:10-27 TPU-style) and
+    must still reproduce sequential results."""
+    import jax
+
+    from ldpc_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4])
+    def fns():
+        return [(lambda s=s: small_env(seed=s)) for s in range(1, 5)]
+
+    seq = EnvironmentVector(fns(), batched=False)
+    shd = EnvironmentVector(fns(), mesh=mesh)
+    seq.reset(), shd.reset()
+    xb, yb = seq.envs[0].x_bits, seq.envs[0].y_bits
+    actions = []
+    for k in range(4):
+        a = np.zeros(seq.action_space.shape[0], np.int32)
+        a[xb + yb + 3 + k] = 1
+        actions.append(a)
+    _, r_seq, _, i_seq = seq.step(actions)
+    _, r_shd, _, i_shd = shd.step(actions)
+    np.testing.assert_allclose(r_shd, r_seq, rtol=1e-6)
+    assert [i["legal"] for i in i_shd] == [i["legal"] for i in i_seq]
+    for es, eb in zip(seq.envs, shd.envs):
+        assert es.accumulated_iterations == eb.accumulated_iterations
+
+
 def test_environment_vector_batched_rejects_mixed():
     with pytest.raises(ValueError):
         EnvironmentVector(
