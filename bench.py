@@ -106,9 +106,27 @@ def main():
               f"iters {detail[snr]['avg_iterations']:.1f}  "
               f"batch {batch} engine {engine}", file=sys.stderr)
 
-    # BER parity evidence: the per-point BER lines above vs the
-    # reference's published near-earth points (common.py:112-114);
-    # engine equivalence is covered by tests/test_pallas_static.py.
+    # BER parity gate: the measured-parity artifact (scripts/ber_parity.py
+    # -> docs/ber_parity.json) records, per SNR point, whether the Pallas
+    # kernel's BER lies within the oracle-exact XLA engine's 95% CI and
+    # whether the reference's published points (common.py:112-114) fall
+    # inside the combined two-run Monte-Carlo band.  Surfaced here so a
+    # regression fails loudly at bench time; engine equivalence on
+    # converged words is separately exact (tests/test_pallas_static.py).
+    parity_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "ber_parity.json")
+    if os.path.exists(parity_path):
+        with open(parity_path) as f:
+            parity = json.load(f)
+        engines_ok = all(pt.get("engines_agree", True)
+                         for pt in parity.get("points", {}).values())
+        ref_ok = all(e["within_band"] for e in parity.get("reference", [])
+                     if e["reference_ber"] > 0)
+        print(f"[bench] BER parity artifact: engines_agree={engines_ok} "
+              f"reference_within_band={ref_ok}", file=sys.stderr)
+        assert engines_ok, (
+            "Pallas kernel BER left the oracle engine's CI — rerun "
+            "scripts/ber_parity.py and investigate before shipping")
     value = detail[3.4]["bit_per_s"]
     print(json.dumps({
         "metric": "near_earth_decoded_throughput_3p4dB_50iters",

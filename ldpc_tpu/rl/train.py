@@ -64,6 +64,9 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=32)
     parser.add_argument("--epochs", type=int, default=50)
     parser.add_argument("--entropyCoefficient", type=float, default=0.01)
+    parser.add_argument("--entropy_bonus", action="store_true",
+                        help="standard entropy bonus (explore) instead of "
+                             "the reference's penalty sign, openAIppo.py:337")
     parser.add_argument("--policyCoefficient", type=float, default=1.0)
     parser.add_argument("--exp_name", type=str, default="ppo")
     parser.add_argument("--data_dir", type=str,
@@ -77,6 +80,7 @@ def main(argv=None):
     ppo_cfg = PPOConfig(
         steps_per_epoch=args.steps, epochs=args.epochs, gamma=args.gamma,
         seed=args.seed, entropy_coefficient=args.entropyCoefficient,
+        entropy_bonus=args.entropy_bonus,
         policy_coefficient=args.policyCoefficient)
     logger = EpochLogger(
         output_dir=f"{args.data_dir}/{args.exp_name}/"
