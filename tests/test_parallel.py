@@ -82,3 +82,57 @@ def test_sharded_pallas_engine_matches_xla():
     # words (f32 ordering); success counts within a couple of frames
     assert abs(sa["ber"][0] - sb["ber"][0]) < 2e-3
     assert abs(sa["fer"][0] - sb["fer"][0]) <= 2 / 32
+
+
+def test_row_sharded_decoder_exact_integer_llrs():
+    """Check-block-axis sharding (parallel/rowshard.py): with
+    integer-valued LLRs every f32 partial sum is exact, so the sharded
+    decoder must match ops/decoder.py bit-for-bit on (errors, iterations,
+    success) — including non-converged words."""
+    from jax.sharding import Mesh
+
+    from ldpc_tpu.ops.decoder import decode
+    from ldpc_tpu.parallel.rowshard import make_row_sharded_decoder
+
+    wifi = wifi_code(rate=0.5)  # 12 block rows
+    devs = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devs, ("row",))
+    dec = make_row_sharded_decoder(wifi, mesh, max_iters=12)
+    # quantized channel: llr in {-5..5}\{0}
+    rng = np.random.default_rng(11)
+    llr = rng.integers(-5, 6, size=(8, wifi.n)).astype(np.float32)
+    llr[llr == 0] = -1.0
+    errors, iters, ok = map(np.asarray, jax.device_get(dec(jnp.asarray(llr))))
+    ref = decode(wifi, jnp.asarray(llr), max_iters=12)
+    assert np.array_equal(np.asarray(ref.hard).sum(axis=1), errors)
+    assert np.array_equal(np.asarray(ref.iterations), iters)
+    assert np.array_equal(np.asarray(ref.success), ok)
+
+
+def test_row_sharded_decoder_2d_mesh_awgn():
+    """(data x row) 2-D mesh: batch sharded over data, check rows over
+    row.  AWGN floats: converged words agree exactly with the unsharded
+    decoder (syndrome-latched trajectories), batch BER statistically
+    close."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ldpc_tpu.ops.decoder import decode
+    from ldpc_tpu.parallel.rowshard import make_row_sharded_decoder
+    from ldpc_tpu.sim.channel import transmit_zero_codeword
+
+    wifi = wifi_code(rate=0.5)
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "row"))
+    dec = make_row_sharded_decoder(wifi, mesh, max_iters=10,
+                                   data_axis="data")
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(3), 8, wifi.n, 2.0)
+    noisy = jax.device_put(noisy, NamedSharding(mesh, P("data", None)))
+    errors, iters, ok = map(np.asarray, jax.device_get(dec(noisy)))
+    ref = decode(wifi, noisy, max_iters=10)
+    conv = np.asarray(ref.success) & ok
+    assert conv.any()
+    assert np.array_equal(np.asarray(ref.hard).sum(axis=1)[conv],
+                          errors[conv])
+    assert np.array_equal(np.asarray(ref.iterations)[conv], iters[conv])
+    assert abs(int(errors.sum()) -
+               int(np.asarray(ref.hard).sum())) <= 0.02 * wifi.n * 8 + 16
