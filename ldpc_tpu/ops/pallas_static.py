@@ -96,9 +96,17 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
         return x.astype(f32)
 
     # Static edge tables (Python lists -> fully unrolled kernel code).
+    # Row edges are grouped by block column so each totals plane pays its
+    # load+convert once per (row, column) group instead of once per edge
+    # (QC codes put several shifts in one block).  Reordering edges within
+    # a row is exact: the two-min/sign/parity folds are order-independent
+    # as set operations, and an argmin tie implies min1 == min2, so the
+    # reconstruction cannot observe which edge won (ROADMAP.md, decoder
+    # semantics notes).
     row_edges = [
-        [(int(plan.cn_nb[mb, d]), int(plan.cn_shift[mb, d]) % z, d)
-         for d in range(plan.dmax_cn) if plan.cn_valid[mb, d]]
+        sorted(((int(plan.cn_nb[mb, d]), int(plan.cn_shift[mb, d]) % z, d)
+                for d in range(plan.dmax_cn) if plan.cn_valid[mb, d]),
+               key=lambda e: e[0])
         for mb in range(mb_n)
     ]
     col_edges: list[list[tuple[int, int, int]]] = [[] for _ in range(nb_n)]
@@ -109,25 +117,6 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
         raise NotImplementedError(
             f"check degree {plan.dmax_cn} > 32: sign bitmask is int32")
 
-    def _rot(x, s):
-        """roll_z(x, s)[i] = x[(i + s) mod z] on a [zp, tile_b] buffer.
-
-        For zp == z a single static roll suffices.  For zp > z:
-        pltpu.roll(x, zp - s)[i] = x[(i + s) mod zp] which is correct for
-        i + s < z; for i in [z - s, z) the wanted row is x[i + s - z] =
-        pltpu.roll(x, z - s)[i].  Both variants only ever read rows < z,
-        so the pad rows never contaminate live lanes.
-        """
-        s = s % z
-        if s == 0:
-            return x
-        if zp == z:
-            return pltpu.roll(x, zp - s, axis=0)
-        a = pltpu.roll(x, zp - s, axis=0)
-        b = pltpu.roll(x, z - s, axis=0)
-        i_row = jax.lax.broadcasted_iota(i32, (zp, tile_b), 0)
-        return jnp.where(i_row < z - s, a, b)
-
     def kernel(llr_hbm, errors_hbm, iters_hbm, success_hbm,
                chan, totals, m1_ref, m2_ref, am_ref, sp_ref, bits_ref,
                errors_ref, iters_ref, success_ref, dma_sem):
@@ -135,7 +124,27 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
         cp = pltpu.make_async_copy(llr_hbm.at[i], chan, dma_sem)
         cp.start()
         cp.wait()
-        row_lt_z = jax.lax.broadcasted_iota(i32, (zp, tile_b), 0) < z
+        i_row = jax.lax.broadcasted_iota(i32, (zp, tile_b), 0)
+        row_lt_z = i_row < z
+
+        def _rot(x, s):
+            """roll_z(x, s)[i] = x[(i + s) mod z] on a [zp, tile_b] buffer.
+
+            For zp == z a single static roll suffices.  For zp > z:
+            pltpu.roll(x, zp - s)[i] = x[(i + s) mod zp] which is correct
+            for i + s < z; for i in [z - s, z) the wanted row is
+            x[i + s - z] = pltpu.roll(x, z - s)[i].  Both variants only
+            ever read rows < z, so the pad rows never contaminate live
+            lanes.
+            """
+            s = s % z
+            if s == 0:
+                return x
+            if zp == z:
+                return pltpu.roll(x, zp - s, axis=0)
+            a = pltpu.roll(x, zp - s, axis=0)
+            b = pltpu.roll(x, z - s, axis=0)
+            return jnp.where(i_row < z - s, a, b)
         for nb in range(nb_n):
             totals[nb] = -chan[nb]
         for mb in range(mb_n):
@@ -170,17 +179,24 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
 
         def _row_stats(mb, olds):
             """Scan block row mb: on-the-fly syndrome parity + fresh
-            compressed stats from v2c = rot(totals) - recon(old)."""
+            compressed stats from v2c = rot(totals) - recon(old).
+
+            Edges are nb-grouped (see row_edges), so the totals plane of
+            a block column is loaded/converted once per group."""
             par = jnp.zeros((zp, tile_b), i32)
             m1n = jnp.full((zp, tile_b), f32(_BIG))
             m2n = jnp.full((zp, tile_b), f32(_BIG))
             amn = jnp.zeros((zp, tile_b), f32)
             spn = jnp.ones((zp, tile_b), f32)
             bitsn = jnp.zeros((zp, tile_b), i32)
+            last_nb, tot_nb = None, None
             for (nb, s, d) in row_edges[mb]:
-                t = _rot(_ld(totals[nb]), s)
-                par = par ^ jnp.where(
-                    jnp.logical_and(t < 0, row_lt_z), 1, 0)
+                if nb != last_nb:
+                    last_nb, tot_nb = nb, _ld(totals[nb])
+                t = _rot(tot_nb, s)
+                # pad rows (>= z) accumulate roll garbage; masked once at
+                # the fold in flooding_body instead of per edge
+                par = par ^ jnp.where(t < 0, 1, 0)
                 v = t - _recon(olds, d)
                 a = jnp.abs(v)
                 newmin = a < m1n
@@ -207,15 +223,25 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
 
         def _latches(it, bad):
             """Check-BEFORE-update convergence latching (ldpc.py:326-337
-            semantics: non-converged words report the final state)."""
+            semantics: non-converged words report the final state).
+
+            The error popcount folds all Nb sign planes into ONE plane
+            and pays a single masked sublane reduction — reductions
+            dominate this latch (a [zp, 1] fold is ~10x an elementwise
+            op), so one reduce instead of Nb is the cheap formulation.
+            """
             ok = jnp.where(bad == 0, 1, 0)
             newly = ok * (1 - success_ref[...])
             iters_ref[...] = jnp.where(newly == 1, it, iters_ref[...])
-            errs = jnp.zeros((1, tile_b), i32)
+            neg = jnp.zeros((zp, tile_b), i32)
             for nb in range(nb_n):
-                errs = errs + jnp.sum(jnp.where(
-                    jnp.logical_and(_ld(totals[nb]) < 0, row_lt_z),
-                    1, 0), axis=0, keepdims=True)
+                # NB the compare must be in f32: an i1 mask derived from a
+                # bf16 plane has a 16-bit-packed layout Mosaic cannot
+                # relayout into the select ("replicated in destination
+                # but not in source")
+                neg = neg + jnp.where(_ld(totals[nb]) < 0, 1, 0)
+            errs = jnp.sum(jnp.where(row_lt_z, neg, 0),
+                           axis=0, keepdims=True)
             errors_ref[...] = jnp.where(success_ref[...] == 1,
                                         errors_ref[...], errs)
             success_ref[...] = success_ref[...] | ok
@@ -226,17 +252,25 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             @pl.when(jnp.logical_not(all_done))
             def _():
                 # ---- phase A: syndrome + new compressed check state ----
-                bad = jnp.zeros((1, tile_b), i32)
+                parsum = jnp.zeros((zp, tile_b), i32)
                 for mb in range(mb_n):
                     par, news = _row_stats(mb, _read_stats(mb))
-                    bad = bad | jnp.sum(par, axis=0, keepdims=True)
+                    parsum = parsum + par
                     _write_stats(mb, news)
+                bad = jnp.sum(jnp.where(row_lt_z, parsum, 0),
+                              axis=0, keepdims=True)
                 _latches(it, bad)
                 # ---- phase B: totals from compressed state ----
+                # All rows' stats planes are loaded/converted ONCE before
+                # the column loop (they are read-only in phase B) instead
+                # of once per edge; accumulation order per column is
+                # unchanged, so trajectories are bit-identical to the
+                # per-edge-load formulation in every storage dtype.
+                all_stats = [_read_stats(mb) for mb in range(mb_n)]
                 for nb in range(nb_n):
                     tot = -_ld(chan[nb])
                     for (mb, d, s) in col_edges[nb]:
-                        tot = tot + _rot(_recon(_read_stats(mb), d),
+                        tot = tot + _rot(_recon(all_stats[mb], d),
                                          (z - s) % z)
                     totals[nb] = _st(tot)
             return 0
@@ -254,14 +288,17 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
 
             @pl.when(jnp.logical_not(all_done))
             def _():
-                bad = jnp.zeros((1, tile_b), i32)
+                parsum = jnp.zeros((zp, tile_b), i32)
                 for mb in range(mb_n):
                     par = jnp.zeros((zp, tile_b), i32)
+                    last_nb, tot_nb = None, None
                     for (nb, s, d) in row_edges[mb]:
-                        t = _rot(_ld(totals[nb]), s)
-                        par = par ^ jnp.where(
-                            jnp.logical_and(t < 0, row_lt_z), 1, 0)
-                    bad = bad | jnp.sum(par, axis=0, keepdims=True)
+                        if nb != last_nb:
+                            last_nb, tot_nb = nb, _ld(totals[nb])
+                        par = par ^ jnp.where(_rot(tot_nb, s) < 0, 1, 0)
+                    parsum = parsum + par
+                bad = jnp.sum(jnp.where(row_lt_z, parsum, 0),
+                              axis=0, keepdims=True)
                 _latches(it, bad)
                 for mb in range(mb_n):
                     olds = _read_stats(mb)

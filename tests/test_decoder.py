@@ -273,22 +273,3 @@ def test_dynamic_plan_degree_cap_enforced():
     code = toy_code()
     with pytest.raises(ValueError):
         dynamic_plan(code, dmax_cn=2, dmax_vn=2)
-
-
-def test_pallas_kernel_matches_decoder(wifi):
-    """The fused Pallas sweep kernel (interpret mode on CPU) must agree
-    with the XLA decoder on errors/iterations/success, including failed
-    words."""
-    from ldpc_tpu.ops.pallas_decoder import make_pallas_sweep_decoder
-    for snr in (1.5, 3.2):
-        noisy, _, _ = transmit_zero_codeword(jax.random.key(9), 8, wifi.n,
-                                             snr)
-        ref = decode(wifi, noisy, max_iters=12)
-        dec = make_pallas_sweep_decoder(wifi, max_iters=12, tile_b=4,
-                                        msg_dtype=jnp.float32,
-                                        interpret=True)
-        errors, iters, success = dec(noisy)
-        assert np.array_equal(np.asarray(ref.hard).sum(axis=1),
-                              np.asarray(errors))
-        assert np.array_equal(np.asarray(ref.iterations), np.asarray(iters))
-        assert np.array_equal(np.asarray(ref.success), np.asarray(success))
