@@ -39,10 +39,14 @@ def main():
 
     code = near_earth_code()
     max_iters = 50
-    # ~620 Mbit/s saturation is reached at 16k words/chip; larger adds
-    # only HBM pressure (measured: 16k and 32k within noise).
+    # Staging tuned on-chip (round 2 grid, docs/kernel_roofline.json):
+    # 32k words/chip with phase1=12 and a 3B/16 redo capacity measured
+    # 713 Mbit/s @3.4 dB vs 610 at the round-1 defaults (16k/10/B-over-4);
+    # 64k adds ~1% for twice the HBM. nfail(12 iters)@3.4 dB is ~13% of
+    # words, so the capacity keeps the failed-word re-decode in the
+    # gather branch with margin while trimming padding-tile waste.
     batch = int(os.environ.get("LDPC_TPU_BENCH_BATCH",
-                               jax.device_count() * 16384))
+                               jax.device_count() * 32768))
     snr_points = [3.0, 3.2, 3.4, 3.6]
     baseline_at_3p4 = 42335.2  # RTX 3080, common.py:34
 
@@ -57,7 +61,8 @@ def main():
 
     def build(eng, dt):
         staged = make_staged_decoder_device(
-            code, max_iters, phase1_iters=10, engine=eng,
+            code, max_iters, phase1_iters=12,
+            redo_capacity=max(128, batch * 3 // 16), engine=eng,
             **({"store_dtype": dt} if eng == "pallas" and dt else
                {"dtype": jnp.dtype(dt)} if dt else {}))
 

@@ -1,6 +1,7 @@
 """Tests for the dashboards and the VPG algorithm."""
 
 import numpy as np
+import pytest
 
 from ldpc_tpu.analysis.dashboard import CirculantDashboard, RewardPlotter
 from ldpc_tpu.codes import wifi_code
@@ -23,6 +24,7 @@ def test_reward_plotter(tmp_path):
     rp.close()
 
 
+@pytest.mark.slow
 def test_vpg_end_to_end_tiny(tmp_path):
     from ldpc_tpu.envs import LdpcCodeSearchEnv
     from ldpc_tpu.rl.model import ActorCriticConfig

@@ -22,6 +22,7 @@ def wifi():
     return wifi_code()
 
 
+@pytest.mark.slow
 def test_static_kernel_matches_decoder_wifi(wifi):
     """f32 storage, short horizon: trajectories match the XLA decoder
     exactly (errors, iterations, success), including failed words."""

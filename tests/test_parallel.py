@@ -8,6 +8,7 @@ with the single-device path.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ldpc_tpu.codes import wifi_code
@@ -66,6 +67,7 @@ def test_sharded_and_unsharded_sweeps_agree_statistically():
     assert abs(sa["avg_iterations"][0] - sb["avg_iterations"][0]) < 3.0
 
 
+@pytest.mark.slow
 def test_sharded_pallas_engine_matches_xla():
     """The pallas engine (shard_map over the mesh, interpret mode on CPU)
     produces the same aggregate statistics as the XLA engine for the same

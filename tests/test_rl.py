@@ -88,6 +88,7 @@ def test_buffer_gae():
     np.testing.assert_allclose(data["adv"], [1.75, 1.5, 1.0])
 
 
+@pytest.mark.slow
 def test_ppo_update_reduces_kl_objective(params):
     """After several clipped-surrogate steps on a fixed batch the policy
     must move (KL > 0) and the value loss must decrease."""

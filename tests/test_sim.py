@@ -188,6 +188,7 @@ def test_throughput_timer_and_roofline():
     assert "device_kind" in info
 
 
+@pytest.mark.slow
 def test_device_staged_matches_host_staged_and_direct():
     """The single-dispatch device-staged decoder returns exactly the
     host-staged (== single-pass) results in both cond branches."""
