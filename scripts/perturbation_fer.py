@@ -100,18 +100,27 @@ def main():
                            for s in args.snr)
         md.append(f"| {name} | {cells} |")
     intact = results["variants"]["intact"]
-    worst = max(
-        (n for n in results["variants"] if n != "intact"),
-        key=lambda n: results["variants"][n][f"{args.snr[-1]:.1f}"]["fer"])
+    lo, hi = f"{args.snr[0]:.1f}", f"{args.snr[-1]:.1f}"
+    variants = [n for n in results["variants"] if n != "intact"]
+    mean_lo = float(np.mean([results["variants"][n][lo]["fer"]
+                             for n in variants]))
+    worst = max(variants,
+                key=lambda n: results["variants"][n][hi]["fer"])
     md += [
         "",
-        f"Intact FER at {args.snr[-1]:.1f} dB: "
-        f"{intact[f'{args.snr[-1]:.1f}']['fer']:.4f}; worst variant "
-        f"`{worst}` reaches "
-        f"{results['variants'][worst][f'{args.snr[-1]:.1f}']['fer']:.4f}. "
-        "Zeroing any circulant removes 511 checks' worth of constraint "
-        "from two block columns; every variant degrades the waterfall, "
-        "which is the property the reference's robustness suite probes.",
+        f"Measured effect of zeroing one circulant (511 checks lose ~2 of "
+        f"their 32 edges; one block column loses half its checks): at the "
+        f"waterfall mid-point ({lo} dB) the variants CONVERGE MORE OFTEN "
+        f"than the intact code (mean FER {mean_lo:.3f} vs intact "
+        f"{intact[lo]['fer']:.3f} — lower-degree checks pass stronger "
+        f"min-sum messages), while the cost of the weakened code appears "
+        f"as an error floor at high SNR (intact {hi} dB FER "
+        f"{intact[hi]['fer']:.4f}; worst variant `{worst}` "
+        f"{results['variants'][worst][hi]['fer']:.4f}); undetected-frame "
+        "rates are zero everywhere (success implies zero errors in every "
+        "measured frame).  This is the robustness surface the reference's "
+        "suite was built to probe (it shipped the generator but no "
+        "measurements).",
         "",
         f"(elapsed {results['elapsed_s']:.0f}s on "
         f"{jax.devices()[0].platform})",
