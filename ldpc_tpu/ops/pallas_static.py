@@ -75,6 +75,14 @@ _BIG = 3.0e38
 # those at bench scale wedged the device (physical VMEM is evidently
 # just above 22 MB on v5e).
 _SCOPED_VMEM_KIB = 21 * 1024
+# The kernel-level vmem_limit_bytes acts as the stack scheduler's
+# HOISTING BUDGET (it hoists unrolled rotations until the budget is
+# spent) while the XLA flag above is the hard check ceiling.  The budget
+# is tunable independently for scheduling experiments; values below the
+# live-set floor fail at compile time, which is safe (only over-ceiling
+# EXECUTION wedges the device).
+_SCHED_BUDGET_KIB = int(__import__("os").environ.get(
+    "LDPC_TPU_PALLAS_VMEM_BUDGET_KIB", _SCOPED_VMEM_KIB))
 
 
 def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
@@ -354,7 +362,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             ],
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_SCOPED_VMEM_KIB * 1024),
+                vmem_limit_bytes=_SCHED_BUDGET_KIB * 1024),
             interpret=interpret,
         )(llr_tiles)
 
