@@ -83,11 +83,21 @@ _SCOPED_VMEM_KIB = 21 * 1024
 # EXECUTION wedges the device).
 _SCHED_BUDGET_KIB = int(__import__("os").environ.get(
     "LDPC_TPU_PALLAS_VMEM_BUDGET_KIB", _SCOPED_VMEM_KIB))
+# Rotation-hoist denial (scheduling experiment, ROADMAP "Open items" #1):
+# the stack scheduler computes every unrolled rotation of a phase up
+# front (~12 MB extra live set) and spills the fold state.  With
+# dep_stride = k > 0 an ``optimization_barrier`` ties every k-th
+# rotation input to the running fold/accumulator state, capping the
+# in-flight rotation window at k planes while leaving values (and hence
+# trajectories) bit-identical.  0 disables gating (production default
+# until a measured win on hardware).
+_DEP_STRIDE = int(__import__("os").environ.get(
+    "LDPC_TPU_PALLAS_DEP_STRIDE", 0))
 
 
 def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                   store_dtype, schedule: str, kind: str, alpha: float,
-                  beta: float, interpret: bool):
+                  beta: float, interpret: bool, dep_stride: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -198,10 +208,16 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             spn = jnp.ones((zp, tile_b), f32)
             bitsn = jnp.zeros((zp, tile_b), i32)
             last_nb, tot_nb = None, None
-            for (nb, s, d) in row_edges[mb]:
+            for ei, (nb, s, d) in enumerate(row_edges[mb]):
                 if nb != last_nb:
                     last_nb, tot_nb = nb, _ld(totals[nb])
-                t = _rot(tot_nb, s)
+                tin = tot_nb
+                if dep_stride and ei and ei % dep_stride == 0:
+                    # Deny the rotation hoist: the rotation input may not
+                    # be scheduled before the fold state of the previous
+                    # edge group exists.  The barrier is a value identity.
+                    tin, m1n = jax.lax.optimization_barrier((tot_nb, m1n))
+                t = _rot(tin, s)
                 # pad rows (>= z) accumulate roll garbage; masked once at
                 # the fold in flooding_body instead of per edge
                 par = par ^ jnp.where(t < 0, 1, 0)
@@ -275,11 +291,20 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 # unchanged, so trajectories are bit-identical to the
                 # per-edge-load formulation in every storage dtype.
                 all_stats = [_read_stats(mb) for mb in range(mb_n)]
+                ei = 0
                 for nb in range(nb_n):
                     tot = -_ld(chan[nb])
                     for (mb, d, s) in col_edges[nb]:
-                        tot = tot + _rot(_recon(all_stats[mb], d),
-                                         (z - s) % z)
+                        st = all_stats[mb]
+                        if dep_stride and ei and ei % dep_stride == 0:
+                            # Same hoist denial for the reconstruct+rotate
+                            # chain: gate the stats plane on the running
+                            # accumulator of the previous edge group.
+                            m1g, tot = jax.lax.optimization_barrier(
+                                (st[0], tot))
+                            st = (m1g,) + st[1:]
+                        tot = tot + _rot(_recon(st, d), (z - s) % z)
+                        ei += 1
                     totals[nb] = _st(tot)
             return 0
 
@@ -378,7 +403,8 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
                               kind: str = "min-sum", alpha: float = 0.75,
                               beta: float = 0.15,
                               interpret: bool = False,
-                              jit: bool = True):
+                              jit: bool = True,
+                              dep_stride: int | None = None):
     """Build the unrolled fused sweep decoder for a code.
 
     Returns ``decode_counts(llr[B, n]) -> (errors[B], iterations[B],
@@ -408,6 +434,12 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     jitted program (``compiler_options`` may only sit on a top-level jit;
     such callers must set ``xla_tpu_scoped_vmem_limit_kib`` >=
     ``_SCOPED_VMEM_KIB`` themselves on TPU).
+
+    ``dep_stride`` (default: ``LDPC_TPU_PALLAS_DEP_STRIDE`` env var, 0)
+    gates every k-th unrolled rotation behind an ``optimization_barrier``
+    on the fold/accumulator state, capping the scheduler's in-flight
+    rotation window (values and trajectories are bit-identical; purely a
+    VMEM-scheduling lever).
     """
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule: {schedule}")
@@ -415,14 +447,16 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
         raise ValueError(f"unsupported kernel kind: {kind}")
     a = float(alpha) if kind == "normalized-min-sum" else 0.0
     b_off = float(beta) if kind == "offset-min-sum" else 0.0
+    ds = _DEP_STRIDE if dep_stride is None else int(dep_stride)
     plan = DecodePlan.from_code(code)
     key = (plan.cache_key(), max_iters, tile_b,
            jnp.dtype(store_dtype).name, schedule, kind, a, b_off,
-           interpret, jit)
+           interpret, jit, ds)
     if key in _CACHE:
         return _CACHE[key]
     kernel_call = _build_kernel(plan, max_iters, tile_b, store_dtype,
-                                schedule, kind, a, b_off, interpret)
+                                schedule, kind, a, b_off, interpret,
+                                dep_stride=ds)
     nb_n, z = plan.block_cols, plan.z
     zp = -(-z // 8) * 8
     sd = jnp.dtype(store_dtype)

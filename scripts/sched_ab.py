@@ -1,0 +1,97 @@
+"""Same-session A/B of Pallas kernel scheduling variants (ROADMAP item 1).
+
+Measures the near-earth static kernel's whole-batch decode time for a list
+of ``dep_stride`` values (rotation-hoist denial via optimization_barrier,
+see ops/pallas_static.py) in ONE device session, interleaving the variants
+across trials so tunnel/clock drift cancels.  Distinct inputs per trial
+(the tunnelled backend caches identical (executable, input) calls).
+
+Run ON THE REAL CHIP:
+    python scripts/sched_ab.py [--strides 0,4,8] [--batch 16384] [--mi 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--strides", default="0,4,8")
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--mi", type=int, default=10)
+    ap.add_argument("--snr", type=float, default=3.4)
+    ap.add_argument("--trials", type=int, default=4)
+    ap.add_argument("--store", default="bfloat16")
+    args = ap.parse_args()
+    strides = [int(s) for s in args.strides.split(",")]
+
+    from ldpc_tpu.codes import near_earth_code
+    from ldpc_tpu.ops.pallas_static import make_static_sweep_decoder
+    from ldpc_tpu.sim.channel import transmit_zero_codeword
+
+    code = near_earth_code()
+    store = jnp.dtype(args.store)
+
+    decs = {}
+    for s in strides:
+        t0 = time.time()
+        dec = make_static_sweep_decoder(code, max_iters=args.mi,
+                                        store_dtype=store, dep_stride=s)
+        # compile + warm with a distinct input
+        noisy, _, _ = transmit_zero_codeword(
+            jax.random.key(1000 + s), args.batch, code.n, args.snr)
+        out = jax.device_get(dec(noisy))
+        print(f"stride {s}: compiled+warm in {time.time()-t0:.1f} s, "
+              f"nfail={int((~out[2].astype(bool)).sum())}", flush=True)
+        decs[s] = dec
+
+    # shared-input exactness: gating must be value-identical on chip too
+    shared, _, _ = transmit_zero_codeword(jax.random.key(5), args.batch,
+                                          code.n, args.snr)
+    ref = jax.device_get(decs[strides[0]](shared))
+    for s in strides[1:]:
+        out = jax.device_get(decs[s](shared))
+        same = all(np.array_equal(a, b) for a, b in zip(ref, out))
+        print(f"stride {s} exactness vs stride {strides[0]}: "
+              f"{'BIT-IDENTICAL' if same else 'MISMATCH'}", flush=True)
+
+    times = {s: [] for s in strides}
+    fails = {s: [] for s in strides}
+    for t in range(args.trials):
+        for s in strides:
+            noisy, _, _ = transmit_zero_codeword(
+                jax.random.key(7919 * t + s + 1), args.batch, code.n,
+                args.snr)
+            noisy = jax.device_put(noisy)
+            jax.device_get(noisy)          # stage input before timing
+            t0 = time.time()
+            out = jax.device_get(decs[s](noisy))
+            dt = time.time() - t0
+            times[s].append(dt)
+            fails[s].append(int((~out[2].astype(bool)).sum()))
+            print(f"trial {t} stride {s}: {dt*1e3:8.1f} ms  "
+                  f"nfail={fails[s][-1]}", flush=True)
+
+    print("\n== summary (best of trials, B=%d mi=%d %s @%.1f dB) ==" %
+          (args.batch, args.mi, args.store, args.snr))
+    base = min(times[strides[0]])
+    for s in strides:
+        b = min(times[s])
+        ntile = args.batch // 128
+        print(f"stride {s:3d}: best {b*1e3:8.1f} ms  "
+              f"({b/args.mi/ntile*1e6:6.1f} us/tile-iter)  "
+              f"vs stride-{strides[0]}: {b/base:.3f}x  "
+              f"nfail={sorted(set(fails[s]))}")
+
+
+if __name__ == "__main__":
+    main()

@@ -159,3 +159,21 @@ def test_static_kernel_minsum_variants_match_xla(wifi, kind):
     assert np.array_equal(np.asarray(ref.hard).sum(axis=1), np.asarray(e))
     assert np.array_equal(np.asarray(ref.iterations), np.asarray(it))
     assert np.array_equal(np.asarray(ref.success), np.asarray(ok))
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+def test_dep_stride_gating_is_bit_identical(wifi, schedule):
+    """dep_stride (rotation-hoist denial via optimization_barrier) is a
+    pure scheduling lever: outputs must be bit-identical to the ungated
+    kernel for every schedule, including failed words."""
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(7), 8, wifi.n, 1.8)
+    base = make_static_sweep_decoder(wifi, max_iters=8, tile_b=4,
+                                     store_dtype=jnp.float32,
+                                     schedule=schedule, interpret=True,
+                                     dep_stride=0)
+    gated = make_static_sweep_decoder(wifi, max_iters=8, tile_b=4,
+                                      store_dtype=jnp.float32,
+                                      schedule=schedule, interpret=True,
+                                      dep_stride=4)
+    for a, b in zip(base(noisy), gated(noisy)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
