@@ -68,6 +68,13 @@ from .plan import DecodePlan
 __all__ = ["make_static_sweep_decoder", "static_decode_counts"]
 
 _BIG = 3.0e38
+# Sum-product phi clamp, matching ops/decoder.py (_PHI_MIN/_PHI_MAX).
+# phi(x) = -log(tanh(x/2)) is a self-involution; in f32 phi(38.0) is
+# EXACTLY 0.0 (tanh(19) rounds to 1.0f), which the init exploits: seeding
+# the per-check phi total at _PHI_MAX makes the first reconstructed
+# check->variable message exactly zero, like the XLA decoder's zero-init.
+_PHI_MIN = 1e-9
+_PHI_MAX = 38.0
 # Scoped-VMEM ceiling handed to the TPU compiler (KiB).  The scheduler's
 # rotation-hoisting schedules need ~18 MB (bf16 flooding) / ~20.3 MB
 # (bf16 layered) > the 16 MiB default.  21 MiB admits those while
@@ -134,10 +141,25 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
     if plan.dmax_cn > 32:
         raise NotImplementedError(
             f"check degree {plan.dmax_cn} > 32: sign bitmask is int32")
+    # Sum-product keeps a per-block-edge phi stash (one [zp, tile_b]
+    # plane per edge) instead of the two-min compressed state; edge_ix
+    # maps (block row, slot) -> stash plane.
+    sum_product = kind == "sum-product"
+    edge_ix = {}
+    for mb, edges in enumerate(row_edges):
+        for (nb, s, d) in edges:
+            edge_ix[(mb, d)] = len(edge_ix)
+    n_edges = len(edge_ix)
 
-    def kernel(llr_hbm, errors_hbm, iters_hbm, success_hbm,
-               chan, totals, m1_ref, m2_ref, am_ref, sp_ref, bits_ref,
-               errors_ref, iters_ref, success_ref, dma_sem):
+    def kernel(llr_hbm, errors_hbm, iters_hbm, success_hbm, *refs):
+        if sum_product:
+            (chan, totals, s_ref, sp_ref, bits_ref, phi_ref,
+             errors_ref, iters_ref, success_ref, dma_sem) = refs
+            m1_ref = m2_ref = am_ref = None
+        else:
+            (chan, totals, m1_ref, m2_ref, am_ref, sp_ref, bits_ref,
+             errors_ref, iters_ref, success_ref, dma_sem) = refs
+            s_ref = phi_ref = None
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(llr_hbm.at[i], chan, dma_sem)
         cp.start()
@@ -166,11 +188,19 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
         for nb in range(nb_n):
             totals[nb] = -chan[nb]
         for mb in range(mb_n):
-            m1_ref[mb] = jnp.zeros((zp, tile_b), sd)    # recon c2v == 0
-            m2_ref[mb] = jnp.zeros((zp, tile_b), sd)
-            am_ref[mb] = jnp.zeros((zp, tile_b), sd)
             sp_ref[mb] = jnp.ones((zp, tile_b), sd)
             bits_ref[mb] = jnp.zeros((zp, tile_b), i32)
+            if sum_product:
+                # S = _PHI_MAX with phi stash 0 reconstructs c2v == 0.0
+                # exactly on the first iteration (see _PHI_MAX note).
+                s_ref[mb] = jnp.full((zp, tile_b), sd.type(_PHI_MAX))
+            else:
+                m1_ref[mb] = jnp.zeros((zp, tile_b), sd)  # recon c2v == 0
+                m2_ref[mb] = jnp.zeros((zp, tile_b), sd)
+                am_ref[mb] = jnp.zeros((zp, tile_b), sd)
+        if sum_product:
+            for e in range(n_edges):
+                phi_ref[e] = jnp.zeros((zp, tile_b), sd)
         success_ref[...] = jnp.zeros((1, tile_b), i32)          # done
         iters_ref[...] = jnp.full((1, tile_b), max_iters, i32)
         errors_ref[...] = jnp.zeros((1, tile_b), i32)
@@ -194,6 +224,57 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             elif kind == "offset-min-sum":
                 mag = jnp.maximum(mag - f32(beta), 0.0)
             return sgn * mag
+
+        def _phi(x):
+            """phi(x) = -log(tanh(x/2)) on a pre-clipped argument — the
+            self-involutive log-domain transform of the sum-product CN
+            rule (ops/decoder.py:132-139 semantics)."""
+            return -jnp.log(jnp.tanh(x * 0.5))
+
+        def _recon_sp(s_tot, sp, bits, phi_d, d):
+            """c2v message of edge d from the phi total + its own phi."""
+            bit = (bits >> d) & 1
+            sgn = sp * (1.0 - 2.0 * bit.astype(f32))
+            rest = jnp.clip(s_tot - phi_d, f32(_PHI_MIN), f32(_PHI_MAX))
+            return sgn * _phi(rest)
+
+        def _row_pass_sp(mb):
+            """Sum-product phase A for block row mb: syndrome parity +
+            fresh (phi total, sign product, edge signs); the per-edge phi
+            stash is rewritten in place (each plane is read for its own
+            edge before being written, so no double buffer)."""
+            s_old = _ld(s_ref[mb])
+            sp_old = _ld(sp_ref[mb])
+            bits_old = bits_ref[mb]
+            par = jnp.zeros((zp, tile_b), i32)
+            s_new = jnp.zeros((zp, tile_b), f32)
+            spn = jnp.ones((zp, tile_b), f32)
+            bitsn = jnp.zeros((zp, tile_b), i32)
+            last_nb, tot_nb = None, None
+            for ei, (nb, s, d) in enumerate(row_edges[mb]):
+                if nb != last_nb:
+                    last_nb, tot_nb = nb, _ld(totals[nb])
+                tin = tot_nb
+                if dep_stride and ei and ei % dep_stride == 0:
+                    tin, s_new = jax.lax.optimization_barrier(
+                        (tot_nb, s_new))
+                t = _rot(tin, s)
+                par = par ^ jnp.where(t < 0, 1, 0)
+                e = edge_ix[(mb, d)]
+                v = t - _recon_sp(s_old, sp_old, bits_old,
+                                  _ld(phi_ref[e]), d)
+                ph = _phi(jnp.clip(jnp.abs(v), f32(_PHI_MIN),
+                                   f32(_PHI_MAX)))
+                phi_ref[e] = _st(ph)
+                s_new = s_new + ph
+                neg = v < 0
+                bitsn = bitsn | jnp.where(
+                    neg, i32(np.int32(np.uint32(1 << d))), 0)
+                spn = jnp.where(neg, -spn, spn)
+            s_ref[mb] = _st(s_new)
+            sp_ref[mb] = _st(spn)
+            bits_ref[mb] = bitsn
+            return par
 
         def _row_stats(mb, olds):
             """Scan block row mb: on-the-fly syndrome parity + fresh
@@ -278,9 +359,12 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 # ---- phase A: syndrome + new compressed check state ----
                 parsum = jnp.zeros((zp, tile_b), i32)
                 for mb in range(mb_n):
-                    par, news = _row_stats(mb, _read_stats(mb))
+                    if sum_product:
+                        par = _row_pass_sp(mb)
+                    else:
+                        par, news = _row_stats(mb, _read_stats(mb))
+                        _write_stats(mb, news)
                     parsum = parsum + par
-                    _write_stats(mb, news)
                 bad = jnp.sum(jnp.where(row_lt_z, parsum, 0),
                               axis=0, keepdims=True)
                 _latches(it, bad)
@@ -290,20 +374,33 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 # of once per edge; accumulation order per column is
                 # unchanged, so trajectories are bit-identical to the
                 # per-edge-load formulation in every storage dtype.
-                all_stats = [_read_stats(mb) for mb in range(mb_n)]
+                if sum_product:
+                    all_sp = [(_ld(s_ref[mb]), _ld(sp_ref[mb]),
+                               bits_ref[mb]) for mb in range(mb_n)]
+                else:
+                    all_stats = [_read_stats(mb) for mb in range(mb_n)]
                 ei = 0
                 for nb in range(nb_n):
                     tot = -_ld(chan[nb])
                     for (mb, d, s) in col_edges[nb]:
-                        st = all_stats[mb]
-                        if dep_stride and ei and ei % dep_stride == 0:
-                            # Same hoist denial for the reconstruct+rotate
-                            # chain: gate the stats plane on the running
-                            # accumulator of the previous edge group.
-                            m1g, tot = jax.lax.optimization_barrier(
-                                (st[0], tot))
-                            st = (m1g,) + st[1:]
-                        tot = tot + _rot(_recon(st, d), (z - s) % z)
+                        if sum_product:
+                            s_tot, spv, bitsv = all_sp[mb]
+                            phi_d = _ld(phi_ref[edge_ix[(mb, d)]])
+                            if dep_stride and ei and ei % dep_stride == 0:
+                                phi_d, tot = jax.lax.optimization_barrier(
+                                    (phi_d, tot))
+                            msg = _recon_sp(s_tot, spv, bitsv, phi_d, d)
+                        else:
+                            st = all_stats[mb]
+                            if dep_stride and ei and ei % dep_stride == 0:
+                                # Same hoist denial for the recon+rotate
+                                # chain: gate the stats plane on the
+                                # accumulator of the previous edge group.
+                                m1g, tot = jax.lax.optimization_barrier(
+                                    (st[0], tot))
+                                st = (m1g,) + st[1:]
+                            msg = _recon(st, d)
+                        tot = tot + _rot(msg, (z - s) % z)
                         ei += 1
                     totals[nb] = _st(tot)
             return 0
@@ -372,19 +469,28 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((nb_n, zp, tile_b), sd),    # chan
-                pltpu.VMEM((nb_n, zp, tile_b), sd),    # totals
-                pltpu.VMEM((mb_n, zp, tile_b), sd),    # m1
-                pltpu.VMEM((mb_n, zp, tile_b), sd),    # m2
-                pltpu.VMEM((mb_n, zp, tile_b), sd),    # argmin
-                pltpu.VMEM((mb_n, zp, tile_b), sd),    # sign product
-                pltpu.VMEM((mb_n, zp, tile_b), i32),   # edge sign bits
-                pltpu.VMEM((1, tile_b), i32),          # errors latch
-                pltpu.VMEM((1, tile_b), i32),          # iters latch
-                pltpu.VMEM((1, tile_b), i32),          # done latch
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((nb_n, zp, tile_b), sd),    # chan
+                    pltpu.VMEM((nb_n, zp, tile_b), sd),    # totals
+                ] + ([
+                    pltpu.VMEM((mb_n, zp, tile_b), sd),    # phi total S
+                    pltpu.VMEM((mb_n, zp, tile_b), sd),    # sign product
+                    pltpu.VMEM((mb_n, zp, tile_b), i32),   # edge sign bits
+                    pltpu.VMEM((n_edges, zp, tile_b), sd),  # phi stash
+                ] if sum_product else [
+                    pltpu.VMEM((mb_n, zp, tile_b), sd),    # m1
+                    pltpu.VMEM((mb_n, zp, tile_b), sd),    # m2
+                    pltpu.VMEM((mb_n, zp, tile_b), sd),    # argmin
+                    pltpu.VMEM((mb_n, zp, tile_b), sd),    # sign product
+                    pltpu.VMEM((mb_n, zp, tile_b), i32),   # edge sign bits
+                ]) + [
+                    pltpu.VMEM((1, tile_b), i32),          # errors latch
+                    pltpu.VMEM((1, tile_b), i32),          # iters latch
+                    pltpu.VMEM((1, tile_b), i32),          # done latch
+                    pltpu.SemaphoreType.DMA(()),
+                ]
+            ),
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_SCHED_BUDGET_KIB * 1024),
@@ -425,10 +531,16 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     equal or better BER (iterations then count sweeps).
 
     ``kind``: "min-sum" (reference rule), "normalized-min-sum" (magnitude
-    scaled by ``alpha``) or "offset-min-sum" (magnitude offset by
-    ``beta``, floored at 0) — same variants as the XLA decoder.
-    Sum-product is XLA-only: its messages are not reconstructible from
-    the compressed two-min state.
+    scaled by ``alpha``), "offset-min-sum" (magnitude offset by ``beta``,
+    floored at 0) or "sum-product" — same variants as the XLA decoder.
+    Sum-product messages are not reconstructible from the two-min state,
+    so that kind swaps the compressed stats for a per-block-edge phi
+    stash (one [zp, tile_b] plane per edge; flooding schedule only) —
+    still far below the dense per-edge message matrix, and VMEM-resident
+    for every shipped code.  Sum-product needs true LLR inputs
+    (``sim.channel.llr_from_channel``) and a tight enough store dtype
+    costs BER: phi spans ~[1e-17, 21], so bf16 storage is usable but f32
+    is the fidelity choice for small codes.
 
     ``jit=False`` returns the untraced function for embedding in a larger
     jitted program (``compiler_options`` may only sit on a top-level jit;
@@ -443,8 +555,11 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     """
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule: {schedule}")
-    if kind not in ("min-sum", "normalized-min-sum", "offset-min-sum"):
+    if kind not in ("min-sum", "normalized-min-sum", "offset-min-sum",
+                    "sum-product"):
         raise ValueError(f"unsupported kernel kind: {kind}")
+    if kind == "sum-product" and schedule != "flooding":
+        raise ValueError("sum-product kernel supports flooding only")
     a = float(alpha) if kind == "normalized-min-sum" else 0.0
     b_off = float(beta) if kind == "offset-min-sum" else 0.0
     ds = _DEP_STRIDE if dep_stride is None else int(dep_stride)

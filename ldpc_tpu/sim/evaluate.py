@@ -55,8 +55,9 @@ def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
 
     ``engine``: "xla" uses the fused while-loop decoder
     (``ops/decoder.py``); "pallas" uses the VMEM-resident unrolled kernel
-    (``ops/pallas_static.py``, min-sum only, ~1-2 orders of magnitude
-    faster on TPU hardware; batches are padded to the 128-word tile).
+    (``ops/pallas_static.py``, full kind family incl. sum-product, ~1-2
+    orders of magnitude faster on TPU hardware; batches are padded to
+    the 128-word tile).
 
     Returns (bit_errors[B], iterations[B], success[B]) as numpy arrays.
     """
@@ -244,10 +245,9 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
         return _counts_fn(code, max_iters, kind, dtype_name, kw_key)
     if engine != "pallas":
         raise ValueError(f"unknown decode engine: {engine}")
-    if kind not in ("min-sum", "normalized-min-sum", "offset-min-sum"):
-        raise ValueError(
-            "the pallas engine implements the min-sum family only "
-            "(sum-product is not reconstructible from compressed state)")
+    if kind not in ("min-sum", "normalized-min-sum", "offset-min-sum",
+                    "sum-product"):
+        raise ValueError(f"unknown decoder kind for pallas engine: {kind}")
     # ``dtype`` is the XLA engine's compute dtype; the Pallas kernel
     # always computes in f32 and its VMEM storage dtype is a separate
     # knob (kw ``store_dtype``; default bfloat16 — f32 storage does not

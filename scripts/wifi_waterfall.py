@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--words", type=int, default=4096)
     ap.add_argument("--max-iters", type=int, default=50)
     ap.add_argument("--kind", default="sum-product")
+    ap.add_argument("--engine", default="xla", choices=["xla", "pallas"],
+                    help="pallas = the VMEM sum-product kernel "
+                         "(per-edge phi stash); ~10x on hardware")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +42,7 @@ def main():
     from ldpc_tpu.codes import wifi_code
     from ldpc_tpu.codes.wifi import wifi_rates
     from ldpc_tpu.ops.decoder import decoder_for_code
-    from ldpc_tpu.sim.evaluate import _transmit_fn
+    from ldpc_tpu.sim.evaluate import _transmit_fn, make_staged_decoder_device
 
     # lower rates converge at lower SNR on this un-normalized axis
     # (grids tuned so each rate's waterfall is visible: first measured
@@ -60,8 +63,13 @@ def main():
         code = wifi_code(rate=rate)
         transmit = _transmit_fn(code.n, scale_llr=(args.kind ==
                                                    "sum-product"))
-        dec = decoder_for_code(code, max_iters=args.max_iters,
-                               kind=args.kind)
+        if args.engine == "pallas":
+            staged = make_staged_decoder_device(
+                code, args.max_iters, kind=args.kind, engine="pallas",
+                store_dtype=jnp.float32)
+        else:
+            dec = decoder_for_code(code, max_iters=args.max_iters,
+                                   kind=args.kind)
         pts = []
         for snr in snr_grids[min(snr_grids,
                                  key=lambda r: abs(r - rate))]:
@@ -69,9 +77,13 @@ def main():
             llr, _, _, unc = transmit(
                 jax.random.fold_in(key, int(rate * 100) * 100 +
                                    int(snr * 10)), snr_arr)
-            res = dec(llr)
-            errs, iters, ok = map(np.asarray, jax.device_get(
-                (res.hard.sum(axis=1), res.iterations, res.success)))
+            if args.engine == "pallas":
+                errs, iters, ok = map(np.asarray, jax.device_get(
+                    staged(llr)))
+            else:
+                res = dec(llr)
+                errs, iters, ok = map(np.asarray, jax.device_get(
+                    (res.hard.sum(axis=1), res.iterations, res.success)))
             pts.append({
                 "snr_db": snr,
                 "ber": float(errs.sum()) / (args.words * code.n),
@@ -121,7 +133,7 @@ def main():
     md = ["# 802.11n (n=1944, Z=81) sum-product waterfall",
           "",
           f"{args.kind}, max {args.max_iters} iterations, "
-          f"{args.words} words/point, XLA decoder on "
+          f"{args.words} words/point, {args.engine} decoder on "
           f"{jax.devices()[0].platform} (reference ships rate 5/6 "
           "min-sum only: wifiMatrices.py:6-9, wifiCUDA.py).",
           "",

@@ -177,3 +177,61 @@ def test_dep_stride_gating_is_bit_identical(wifi, schedule):
                                       dep_stride=4)
     for a, b in zip(base(noisy), gated(noisy)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sum_product_kernel_matches_xla_small():
+    """Sum-product Pallas kernel vs the XLA sum-product decoder on small
+    random QC codes: converged words must agree on (errors, success) and
+    iteration counts may differ only where f32 accumulation-order noise
+    flips a near-threshold word (none expected at this size)."""
+    from ldpc_tpu.codes.qc import QCCode
+    from ldpc_tpu.sim.channel import llr_from_channel
+
+    rng = np.random.default_rng(11)
+    for trial, (z, mb, nb) in enumerate([(21, 2, 6), (13, 3, 7)]):
+        shifts = []
+        for r in range(mb):
+            row = []
+            for c in range(nb):
+                w = int(rng.integers(0, 3))
+                row.append(tuple(sorted(
+                    rng.choice(z, size=w, replace=False).tolist())))
+            if all(len(b) == 0 for b in row):
+                row[0] = (int(rng.integers(z)),)
+            shifts.append(tuple(row))
+        code = QCCode(z=z, shifts=tuple(shifts), name=f"sprand{trial}")
+        noisy, sigma, _ = transmit_zero_codeword(jax.random.key(trial), 4,
+                                                 code.n, 2.0)
+        llr = llr_from_channel(noisy, sigma)
+        ref = decode(code, llr, max_iters=8, kind="sum-product")
+        dec = make_static_sweep_decoder(code, max_iters=8, tile_b=4,
+                                        store_dtype=jnp.float32,
+                                        kind="sum-product", interpret=True)
+        e, it, ok = dec(llr)
+        ref_err = np.asarray(ref.hard).sum(axis=1)
+        conv = np.asarray(ok) & np.asarray(ref.success)
+        assert np.array_equal(np.asarray(e)[conv], ref_err[conv])
+        assert np.array_equal(np.asarray(ok), np.asarray(ref.success))
+        assert np.array_equal(np.asarray(it), np.asarray(ref.iterations))
+
+
+@pytest.mark.slow
+def test_sum_product_kernel_wifi_statistical(wifi):
+    """Sum-product kernel on 802.11n with f32 storage: BER close to the
+    XLA sum-product decoder at the same SNR (accumulation order differs,
+    so the contract is statistical, like bf16 min-sum)."""
+    from ldpc_tpu.sim.channel import llr_from_channel
+
+    noisy, sigma, _ = transmit_zero_codeword(jax.random.key(5), 8,
+                                             wifi.n, 2.2)
+    llr = llr_from_channel(noisy, sigma)
+    ref = decode(wifi, llr, max_iters=10, kind="sum-product")
+    dec = make_static_sweep_decoder(wifi, max_iters=10, tile_b=4,
+                                    store_dtype=jnp.float32,
+                                    kind="sum-product", interpret=True)
+    e, it, ok = dec(llr)
+    ref_err = np.asarray(ref.hard).sum(axis=1)
+    conv = np.asarray(ok) & np.asarray(ref.success)
+    assert np.array_equal(np.asarray(e)[conv], ref_err[conv])
+    assert abs(float(np.asarray(e).sum()) - float(ref_err.sum())) \
+        <= 0.02 * wifi.n * 8 + 16
