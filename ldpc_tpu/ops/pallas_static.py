@@ -75,6 +75,11 @@ _BIG = 3.0e38
 # check->variable message exactly zero, like the XLA decoder's zero-init.
 _PHI_MIN = 1e-9
 _PHI_MAX = 38.0
+# Fixed-point scale for integer store dtypes (int8 message memory):
+# stored = round(value * _QUANT_SCALE), saturating.  8 = Q4.3 (step 1/8,
+# range +-15.875) — the classic hardware min-sum quantization.
+_QUANT_SCALE = float(__import__("os").environ.get(
+    "LDPC_TPU_PALLAS_QUANT_SCALE", 8.0))
 # Scoped-VMEM ceiling handed to the TPU compiler (KiB).  The scheduler's
 # rotation-hoisting schedules need ~18 MB (bf16 flooding) / ~20.3 MB
 # (bf16 layered) > the 16 MiB default.  21 MiB admits those while
@@ -113,12 +118,46 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
     mb_n, nb_n = plan.block_rows, plan.block_cols
     f32, i32 = jnp.float32, jnp.int32
     sd = jnp.dtype(store_dtype)
+    quant = jnp.issubdtype(sd, jnp.integer)
 
-    def _st(x):
-        return x.astype(sd)
+    if quant:
+        # Fixed-point message memory (the 6-8 bit storage every hardware
+        # LDPC decoder uses): quantize on STORE only — arithmetic stays
+        # f32 (rotates are 32-bit anyway).  Q4.3 semantics for int8:
+        # step 1/8, saturate at +-15.875.  The argmin plane (0..31) and
+        # the sign product (+-1) survive the scale exactly (<= 127/8 ...
+        # no: argmin is stored UNscaled, see _st_raw).  _PHI seeds and
+        # min-sum's _BIG saturate to the clip, which is the standard
+        # saturating-min-sum behaviour.
+        # plain Python floats (a jnp scalar here would be captured as a
+        # pallas_call constant); symmetric clip: -q_hi, not iinfo.min —
+        # so int negation (the totals init) can never hit the
+        # two's-complement wrap at -128
+        q_scale = float(_QUANT_SCALE)
+        q_hi = float(np.iinfo(sd.type).max)
+        q_lo = -q_hi
 
-    def _ld(x):
-        return x.astype(f32)
+        def _st(x):
+            return jnp.clip(jnp.round(x.astype(f32) * q_scale),
+                            q_lo, q_hi).astype(sd)
+
+        def _ld(x):
+            return x.astype(f32) * (1.0 / q_scale)
+
+        def _st_raw(x):           # small exact integers (argmin plane)
+            return jnp.clip(jnp.round(x.astype(f32)),
+                            q_lo, q_hi).astype(sd)
+
+        def _ld_raw(x):
+            return x.astype(f32)
+    else:
+        def _st(x):
+            return x.astype(sd)
+
+        def _ld(x):
+            return x.astype(f32)
+
+        _st_raw, _ld_raw = _st, _ld
 
     # Static edge tables (Python lists -> fully unrolled kernel code).
     # Row edges are grouped by block column so each totals plane pays its
@@ -186,9 +225,9 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             b = pltpu.roll(x, z - s, axis=0)
             return jnp.where(i_row < z - s, a, b)
         for nb in range(nb_n):
-            totals[nb] = -chan[nb]
+            totals[nb] = -chan[nb]   # exact for quant too: clip symmetric
         for mb in range(mb_n):
-            sp_ref[mb] = jnp.ones((zp, tile_b), sd)
+            sp_ref[mb] = _st(jnp.ones((zp, tile_b), f32))
             bits_ref[mb] = jnp.zeros((zp, tile_b), i32)
             if sum_product:
                 # S = _PHI_MAX with phi stash 0 reconstructs c2v == 0.0
@@ -315,14 +354,14 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             return par, (m1n, m2n, amn, spn, bitsn)
 
         def _read_stats(mb):
-            return (_ld(m1_ref[mb]), _ld(m2_ref[mb]), _ld(am_ref[mb]),
+            return (_ld(m1_ref[mb]), _ld(m2_ref[mb]), _ld_raw(am_ref[mb]),
                     _ld(sp_ref[mb]), bits_ref[mb])
 
         def _write_stats(mb, stats):
             m1n, m2n, amn, spn, bitsn = stats
             m1_ref[mb] = _st(m1n)
             m2_ref[mb] = _st(m2n)
-            am_ref[mb] = _st(amn)
+            am_ref[mb] = _st_raw(amn)   # an index 0..31, never scaled
             sp_ref[mb] = _st(spn)
             bits_ref[mb] = bitsn
 
@@ -524,6 +563,12 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     batches (per-access converts cost more than the bandwidth they save)
     but its ~22 MB schedule sits at the edge of physical VMEM — a large
     f32 staged run wedged the device outright, so f32 is opt-in.
+    ``jnp.int8`` selects fixed-point message memory (quantize on store,
+    Q4.3: step 1/8 saturating at +-15.875, scale via
+    ``LDPC_TPU_PALLAS_QUANT_SCALE``) — the storage format of production
+    hardware LDPC decoders; a distinct decoder variant (BER cost is
+    measurable, not a bit-exact reference path) that also halves the
+    bf16 live set.  Min-sum family only.
 
     ``schedule``: "flooding" reproduces the reference semantics
     (ldpc.py flooding BP); "layered" (serial-C) applies each block row's
@@ -560,6 +605,11 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
         raise ValueError(f"unsupported kernel kind: {kind}")
     if kind == "sum-product" and schedule != "flooding":
         raise ValueError("sum-product kernel supports flooding only")
+    if kind == "sum-product" and jnp.issubdtype(jnp.dtype(store_dtype),
+                                                jnp.integer):
+        raise ValueError("integer message memory supports the min-sum "
+                         "family only (phi spans ~[1e-17, 21]; Q4.3 "
+                         "saturation would destroy it)")
     a = float(alpha) if kind == "normalized-min-sum" else 0.0
     b_off = float(beta) if kind == "offset-min-sum" else 0.0
     ds = _DEP_STRIDE if dep_stride is None else int(dep_stride)
@@ -580,6 +630,10 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
         b = llr.shape[0]
         if b % tile_b:
             raise ValueError(f"batch {b} not a multiple of tile_b={tile_b}")
+        if jnp.issubdtype(sd, jnp.integer):
+            hi = float(np.iinfo(sd.type).max)
+            llr = jnp.clip(jnp.round(llr.astype(jnp.float32) *
+                                     _QUANT_SCALE), -hi, hi)
         llr_t = jnp.transpose(
             llr.astype(sd).reshape(b // tile_b, tile_b, nb_n, z),
             (0, 2, 3, 1))

@@ -235,3 +235,39 @@ def test_sum_product_kernel_wifi_statistical(wifi):
     assert np.array_equal(np.asarray(e)[conv], ref_err[conv])
     assert abs(float(np.asarray(e).sum()) - float(ref_err.sum())) \
         <= 0.02 * wifi.n * 8 + 16
+
+
+def test_int8_message_memory_small():
+    """int8 fixed-point message memory (Q4.3 quantize-on-store): decodes
+    correctly on small random QC codes — high-SNR batches reach the same
+    zero-error decisions as f32, and a mid-SNR batch stays statistically
+    close (quantization is a real decoder variant, not bit-exact)."""
+    from ldpc_tpu.codes.qc import QCCode
+
+    rng = np.random.default_rng(23)
+    shifts = []
+    z, mb, nb = (17, 2, 6)
+    for r in range(mb):
+        row = []
+        for c in range(nb):
+            w = int(rng.integers(1, 3))
+            row.append(tuple(sorted(
+                rng.choice(z, size=w, replace=False).tolist())))
+        shifts.append(tuple(row))
+    code = QCCode(z=z, shifts=tuple(shifts), name="q8rand")
+
+    # high SNR: all words decode to zero errors in both dtypes
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(1), 4, code.n, 7.0)
+    d8 = make_static_sweep_decoder(code, max_iters=8, tile_b=4,
+                                   store_dtype=jnp.int8, interpret=True)
+    e8, it8, ok8 = d8(noisy)
+    assert np.asarray(ok8).all() and np.asarray(e8).sum() == 0
+
+    # mid SNR: BER within a loose statistical band of f32
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(2), 8, code.n, 2.0)
+    df = make_static_sweep_decoder(code, max_iters=8, tile_b=4,
+                                   store_dtype=jnp.float32, interpret=True)
+    ef, _, okf = df(noisy)
+    e8, _, ok8 = d8(noisy)
+    assert abs(int(np.asarray(e8).sum()) - int(np.asarray(ef).sum())) \
+        <= 0.05 * code.n * 8 + 8
