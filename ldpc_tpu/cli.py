@@ -17,7 +17,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# Platform override BEFORE any backend use: some environments register an
+# accelerator plugin at interpreter start (sitecustomize), so the usual
+# JAX_PLATFORMS env var is too late by the time jax is imported — the
+# config route still works.  LDPC_TPU_PLATFORM=cpu forces CPU (smokes,
+# CI boxes whose accelerator tunnel is down).
+if os.environ.get("LDPC_TPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
 
 
 def _get_code(name: str):
@@ -33,10 +44,15 @@ def _get_code(name: str):
 def cmd_evaluate(args):
     from .sim import evaluate_code
     code = _get_code(args.code)
+    import jax.numpy as jnp
     stats = evaluate_code(
         code, args.snr, args.transmissions, args.iterations,
         seed=args.seed, batch_size=args.batch_size, kind=args.kind,
-        staged=not args.no_staged, engine=args.engine, verbose=True)
+        scale_llr=(args.kind == "sum-product"),
+        staged=not args.no_staged, engine=args.engine,
+        store_dtype=(jnp.dtype(args.store_dtype)
+                     if args.store_dtype else None),
+        verbose=True)
     print(json.dumps(stats.summary()))
     if args.plot:
         from .analysis import plot_snr_vs_ber
@@ -172,6 +188,10 @@ def main(argv=None):
     e.add_argument("--kind", default="min-sum")
     e.add_argument("--no-staged", action="store_true")
     e.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    e.add_argument("--store-dtype", default=None,
+                   choices=["bfloat16", "float32", "int8"],
+                   help="pallas engine VMEM state dtype (int8 = Q4.3 "
+                        "fixed-point message memory)")
     e.add_argument("--plot", default=None)
     e.set_defaults(fn=cmd_evaluate)
 

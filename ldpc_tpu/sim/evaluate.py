@@ -360,6 +360,7 @@ def evaluate_code(code: QCCode,
                   staged: bool = False,
                   phase1_iters: int = 12,
                   engine: str = "xla",
+                  store_dtype=None,
                   early_abort_ber: float | None = None,
                   stats: BerStatistics | None = None,
                   checkpoint_path=None,
@@ -390,7 +391,7 @@ def evaluate_code(code: QCCode,
         transmit = _transmit_fn(code.n, scale_llr)
         staged_dec = make_staged_decoder_device(
             code, max_iters, phase1_iters=phase1_iters, kind=kind,
-            dtype=dtype, engine=engine)
+            dtype=dtype, engine=engine, store_dtype=store_dtype)
     else:
         step = sweep_step(code, max_iters, kind=kind, scale_llr=scale_llr,
                           dtype=dtype)
