@@ -59,10 +59,22 @@ def main():
     transmit = _transmit_fn(code.n, scale_llr=False)
     key = jax.random.key(7134066)
 
+    # LDPC_TPU_BENCH_PHASES="p1[,p2,..]" / LDPC_TPU_BENCH_CAPS="c1[,c2,..]"
+    # select a multi-stage cascade (each stage re-decodes the previous
+    # stage's failures from scratch at a bigger budget; exactly
+    # equivalent to a straight 50-iter decode by per-word latching).
+    phases = [int(p) for p in os.environ.get(
+        "LDPC_TPU_BENCH_PHASES", "12").split(",")]
+    caps = [int(c) for c in os.environ.get(
+        "LDPC_TPU_BENCH_CAPS",
+        str(max(128, batch * 3 // 16))).split(",")]
+    if len(caps) == 1:
+        caps = caps * len(phases)
+
     def build(eng, dt):
         staged = make_staged_decoder_device(
-            code, max_iters, phase1_iters=12,
-            redo_capacity=max(128, batch * 3 // 16), engine=eng,
+            code, max_iters, phase1_iters=phases,
+            redo_capacity=caps, engine=eng,
             **({"store_dtype": dt} if eng == "pallas" and dt else
                {"dtype": jnp.dtype(dt)} if dt else {}))
 

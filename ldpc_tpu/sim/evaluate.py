@@ -103,12 +103,12 @@ def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
 
 
 def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
-                               phase1_iters: int = 12,
-                               redo_capacity: int | None = None,
+                               phase1_iters: int | Sequence[int] = 12,
+                               redo_capacity=None,
                                kind: str = "min-sum", dtype=jnp.float32,
                                store_dtype=None, schedule: str = "flooding",
                                engine: str = "xla", **decoder_kw):
-    """Single-dispatch staged decode: the whole two-phase logic runs on
+    """Single-dispatch staged decode: the whole multi-phase logic runs on
     device, so one host round trip covers a batch.
 
     ``staged_decode_counts`` does its phase-2 bookkeeping on host — fine
@@ -121,9 +121,18 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
     where most words fail).  Results are identical to the host-staged and
     single-pass decoders (per-word convergence latching).
 
+    ``phase1_iters`` may be a single int (the classic two-phase decode)
+    or an ascending sequence, e.g. ``(6, 16)`` for a three-stage cascade
+    6 -> 16 -> ``max_iters``: each stage re-decodes the survivors of the
+    previous one from scratch with a bigger budget, so most words pay
+    only a few iterations and only the hard tail pays ``max_iters``.
+    Per-word latching makes every cascade exactly equivalent to the
+    single-pass decode.  ``redo_capacity`` then accepts a matching
+    sequence (one capacity per re-decode stage; each defaults to B/4).
+
     ``dtype`` is the XLA engine's compute dtype; ``store_dtype`` is the
     Pallas engine's VMEM storage dtype (default bfloat16) and
-    ``schedule`` its message schedule — both phases share it, so a
+    ``schedule`` its message schedule — all phases share it, so a
     staged "layered" decode equals a single-pass layered decode by the
     same per-word latching argument (pallas engine only; see
     ``ops/pallas_static.py``).
@@ -134,6 +143,17 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
     if schedule != "flooding" and engine != "pallas":
         raise ValueError("schedules other than flooding need the pallas "
                          "engine")
+    phases = ([int(phase1_iters)] if isinstance(phase1_iters, int)
+              else [int(p) for p in phase1_iters])
+    if sorted(phases) != phases or (phases and phases[-1] >= max_iters):
+        raise ValueError(f"phase iteration budgets must ascend below "
+                         f"max_iters: {phases} vs {max_iters}")
+    caps_in = (list(redo_capacity)
+               if isinstance(redo_capacity, (list, tuple))
+               else [redo_capacity] * len(phases))
+    if len(caps_in) != len(phases):
+        raise ValueError("redo_capacity sequence must have one entry per "
+                         "re-decode stage")
     kw_key = tuple(
         kv for kv in (
             ("store_dtype", jnp.dtype(store_dtype).name)
@@ -142,19 +162,19 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
         if kv is not None)
 
     def build(b):
-        cap = redo_capacity or max(1, b // 4)
-        if engine == "pallas":
-            cap = max(128, -(-cap // 128) * 128)
-        cap = min(cap, b)
-        c1 = _engine_counts_fn(code, phase1_iters, kind,
-                               jnp.dtype(dtype).name, engine, kw_key,
-                               nested=True)
-        c2 = _engine_counts_fn(code, max_iters, kind,
-                               jnp.dtype(dtype).name, engine, kw_key,
-                               nested=True)
+        def round_cap(c):
+            c = c or max(1, b // 4)
+            if engine == "pallas":
+                c = max(128, -(-c // 128) * 128)
+            return min(c, b)
 
-        def fn(llr):
-            e1, it1, ok1 = c1(llr)
+        caps = [round_cap(c) for c in caps_in]
+        cfns = [_engine_counts_fn(code, it, kind, jnp.dtype(dtype).name,
+                                  engine, kw_key, nested=True)
+                for it in phases + [max_iters]]
+
+        def fix_stage(cfn, cap, args):
+            e1, it1, ok1, llr = args
             nfail = jnp.sum(~ok1)
 
             def few(args):
@@ -169,7 +189,7 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
                 live = jnp.arange(cap) < nfail
                 gather_idx = jnp.where(live, idx, 0)
                 scatter_idx = jnp.where(live, idx, e1.shape[0])
-                e2, it2, ok2 = c2(jnp.take(llr, gather_idx, axis=0))
+                e2, it2, ok2 = cfn(jnp.take(llr, gather_idx, axis=0))
                 e = e1.at[scatter_idx].set(e2, mode="drop")
                 it = it1.at[scatter_idx].set(it2, mode="drop")
                 ok = ok1.at[scatter_idx].set(ok2, mode="drop")
@@ -177,7 +197,7 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
 
             def many(args):
                 e1, it1, ok1, llr = args
-                e2, it2, ok2 = c2(llr)
+                e2, it2, ok2 = cfn(llr)
                 keep = ok1
                 return (jnp.where(keep, e1, e2),
                         jnp.where(keep, it1, it2),
@@ -185,6 +205,12 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
 
             return jax.lax.cond(nfail <= cap, few, many,
                                 (e1, it1, ok1, llr))
+
+        def fn(llr):
+            out = cfns[0](llr)
+            for cfn, cap in zip(cfns[1:], caps):
+                out = fix_stage(cfn, cap, out + (llr,))
+            return out
 
         return jax.jit(fn, compiler_options=_pallas_compiler_options(engine))
 

@@ -269,3 +269,29 @@ def test_device_staged_layered_matches_single_pass_layered():
     assert np.array_equal(e0, e1)
     assert np.array_equal(it0, it1)
     assert np.array_equal(ok0, ok1)
+
+
+def test_device_staged_multi_stage_cascade_exact():
+    """A 3-stage cascade (phase_iters sequence) equals the single-pass
+    decode exactly — per-word latching composes across any number of
+    re-decode stages, in both capacity branches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ldpc_tpu.codes import wifi_code
+    from ldpc_tpu.ops.decoder import decode
+    from ldpc_tpu.sim.channel import transmit_zero_codeword
+    from ldpc_tpu.sim.evaluate import make_staged_decoder_device
+
+    wifi = wifi_code()
+    B = 24
+    for snr, caps in ((3.0, (8, 4)), (1.4, (4, 4))):
+        llr, _, _ = transmit_zero_codeword(jax.random.key(29), B, wifi.n,
+                                           jnp.full((B,), snr, jnp.float32))
+        staged = make_staged_decoder_device(wifi, 20, phase1_iters=(3, 8),
+                                            redo_capacity=caps)
+        e, it, ok = [np.asarray(v) for v in staged(llr)]
+        ref = decode(wifi, llr, 20)
+        assert np.array_equal(e, np.asarray(ref.hard).sum(axis=1))
+        assert np.array_equal(it, np.asarray(ref.iterations))
+        assert np.array_equal(ok, np.asarray(ref.success))
