@@ -65,9 +65,9 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
             make_static_sweep_decoder
         shard_map = jax.shard_map
         if kind not in ("min-sum", "normalized-min-sum",
-                        "offset-min-sum"):
-            raise ValueError("the pallas engine implements the min-sum "
-                             "family only")
+                        "offset-min-sum", "sum-product"):
+            raise ValueError(
+                f"unknown decoder kind for pallas engine: {kind}")
         from ..utils.device import on_tpu_hardware
         interp = not on_tpu_hardware()
         # jit=False: the kernel is traced inside the outer jitted step,
