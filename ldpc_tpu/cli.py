@@ -50,6 +50,7 @@ def cmd_evaluate(args):
         seed=args.seed, batch_size=args.batch_size, kind=args.kind,
         scale_llr=(args.kind == "sum-product"),
         staged=not args.no_staged, engine=args.engine,
+        phase1_iters=[int(p) for p in str(args.phase_iters).split(",")],
         store_dtype=(jnp.dtype(args.store_dtype)
                      if args.store_dtype else None),
         verbose=True)
@@ -192,6 +193,10 @@ def main(argv=None):
                    choices=["bfloat16", "float32", "int8"],
                    help="pallas engine VMEM state dtype (int8 = Q4.3 "
                         "fixed-point message memory)")
+    e.add_argument("--phase-iters", default="12",
+                   help="staged-decode cascade budgets, e.g. '6,16' for "
+                        "6 -> 16 -> full-iteration stages (exactly "
+                        "equivalent results, less straggler waste)")
     e.add_argument("--plot", default=None)
     e.set_defaults(fn=cmd_evaluate)
 
