@@ -1,0 +1,42 @@
+#!/bin/bash
+# One-shot TPU session: run the round's on-chip work queue in wedge-risk
+# order (familiar compiles first, novel ones last) with per-step
+# timeouts, so a mid-session tunnel wedge still leaves the earlier
+# artifacts on disk.  Each step logs to docs/chip_session_r2.log.
+#
+#   bash scripts/chip_session.sh
+set -u
+cd /root/repo
+LOG=docs/chip_session_r2.log
+: > "$LOG"
+
+step() {
+  local name="$1" tmo="$2"; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "--- $name exit=$rc ($(date -u +%H:%M:%S)) ---" | tee -a "$LOG"
+  # a wedge means everything later hangs too, but the per-step timeout
+  # lets later CHEAP steps still try after the tunnel self-recovers
+  return 0
+}
+
+# 0. probe
+step probe 60 python -c "import jax, jax.numpy as jnp; print(float(jax.device_get(jnp.sum(jnp.ones((8,128))))))"
+
+# 1. the headline bench (familiar kernel shapes; must work at round end)
+step bench 1500 python bench.py
+
+# 2. staging cascade grid (new mi budgets: 6/8/16)
+step staging_grid 2400 python scripts/staging_grid.py --trials 3
+
+# 3. int8 message-memory study (novel int8 kernel compile)
+step quantized_ber 1800 python scripts/quantized_ber.py
+
+# 4. wifi sum-product pallas waterfall (novel but small kernels)
+step wifi_pallas 1800 python scripts/wifi_waterfall.py --engine pallas --words 8192
+
+# 5. scheduling A/B (novel barrier kernels, biggest wedge risk — last)
+step sched_ab 2400 python scripts/sched_ab.py --strides 0,4 --trials 3
+
+echo "ALL DONE $(date -u)" | tee -a "$LOG"
