@@ -124,15 +124,14 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
         # Fixed-point message memory (the 6-8 bit storage every hardware
         # LDPC decoder uses): quantize on STORE only — arithmetic stays
         # f32 (rotates are 32-bit anyway).  Q4.3 semantics for int8:
-        # step 1/8, saturate at +-15.875.  The argmin plane (0..31) and
-        # the sign product (+-1) survive the scale exactly (<= 127/8 ...
-        # no: argmin is stored UNscaled, see _st_raw).  _PHI seeds and
-        # min-sum's _BIG saturate to the clip, which is the standard
-        # saturating-min-sum behaviour.
-        # plain Python floats (a jnp scalar here would be captured as a
-        # pallas_call constant); symmetric clip: -q_hi, not iinfo.min —
-        # so int negation (the totals init) can never hit the
-        # two's-complement wrap at -128
+        # step 1/8, saturate at +-15.875.  The sign product (+-1)
+        # round-trips the scale exactly; the argmin plane holds indices
+        # 0..31 and is stored UNscaled (_st_raw).  min-sum's _BIG
+        # saturates to the clip — standard saturating min-sum.
+        # Scales are plain Python floats (a jnp scalar here would be
+        # captured as a pallas_call constant); the clip is symmetric
+        # (-q_hi, not iinfo.min) so int negation (the totals init) can
+        # never hit the two's-complement wrap at -128.
         q_scale = float(_QUANT_SCALE)
         q_hi = float(np.iinfo(sd.type).max)
         q_lo = -q_hi
