@@ -34,8 +34,7 @@ def main():
     import jax.numpy as jnp
 
     from ldpc_tpu.codes import near_earth_code
-    from ldpc_tpu.sim.evaluate import (_transmit_fn,
-                                       make_staged_decoder_device)
+    from ldpc_tpu.sim.evaluate import make_staged_sweep_device
 
     code = near_earth_code()
     max_iters = 50
@@ -56,7 +55,6 @@ def main():
     # of physical VMEM and wedged the device at bench scale) or the XLA
     # engine's compute dtype.
     dtype_env = os.environ.get("LDPC_TPU_BENCH_DTYPE")
-    transmit = _transmit_fn(code.n, scale_llr=False)
     key = jax.random.key(7134066)
 
     # LDPC_TPU_BENCH_PHASES="p1[,p2,..]" / LDPC_TPU_BENCH_CAPS="c1[,c2,..]"
@@ -72,17 +70,21 @@ def main():
         caps = caps * len(phases)
 
     def build(eng, dt):
-        staged = make_staged_decoder_device(
+        # Transmit + staged cascade fused into ONE dispatch per batch
+        # (the second dispatch through the ~33 ms tunnel and the [B, n]
+        # f32 LLR HBM round trip are pure overhead).
+        step = make_staged_sweep_device(
             code, max_iters, phase1_iters=phases,
             redo_capacity=caps, engine=eng,
             **({"store_dtype": dt} if eng == "pallas" and dt else
                {"dtype": jnp.dtype(dt)} if dt else {}))
 
         def run(k, snr_arr):
-            llr, _, _, _ = transmit(k, snr_arr)
             # device_get is the only reliable completion barrier through
             # the tunnelled backend (block_until_ready returns early).
-            return jax.device_get(staged(llr))
+            out = jax.device_get(step(k, snr_arr))
+            return (out["errors_decoded"], out["iterations"],
+                    out["success"])
 
         return run
 

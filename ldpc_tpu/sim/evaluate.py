@@ -33,7 +33,8 @@ from .channel import awgn, epsilon_probe, llr_from_channel, snr_db_to_sigma
 from .stats import BerStatistics
 
 __all__ = ["evaluate_code", "evaluate_epsilon_probe", "sweep_step",
-           "staged_decode_counts", "make_staged_decoder_device"]
+           "staged_decode_counts", "make_staged_decoder_device",
+           "make_staged_sweep_device"]
 
 
 def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,
@@ -139,6 +140,86 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
 
     Returns a jitted ``fn(llr[B, n]) -> (errors, iterations, success)``.
     """
+    core = _staged_core_builder(
+        code, max_iters, phase1_iters=phase1_iters,
+        redo_capacity=redo_capacity, kind=kind, dtype=dtype,
+        store_dtype=store_dtype, schedule=schedule, engine=engine,
+        **decoder_kw)
+    cache: dict = {}
+
+    def staged(llr):
+        llr = jnp.asarray(llr)
+        b = llr.shape[0]
+        if b not in cache:
+            cache[b] = jax.jit(
+                core(b), compiler_options=_pallas_compiler_options(engine))
+        return cache[b](llr)
+
+    return staged
+
+
+def make_staged_sweep_device(code: QCCode, max_iters: int = 50, *,
+                             scale_llr: bool = False, **staged_kw):
+    """Single-dispatch Monte-Carlo step: transmit + staged decode fused.
+
+    Composes :func:`_transmit_fn`'s channel (all-zero codeword, BPSK +
+    AWGN, reference default path ldpc.py:409-411) with the on-device
+    staged cascade of :func:`make_staged_decoder_device` inside ONE jit,
+    so a whole (transmit, decode, count) batch costs a single host
+    dispatch — through a high-latency tunnelled backend the second
+    dispatch and the [B, n] float32 LLR round trip through HBM are pure
+    overhead.  Per-word decode results are identical to transmitting and
+    staged-decoding separately with the same key (the channel math is the
+    same traced code).
+
+    Accepts every :func:`make_staged_decoder_device` keyword.  Returns a
+    jitted ``fn(key, snr_db[B]) -> dict`` with the :func:`sweep_step`
+    contract (errors_uncoded, errors_decoded, iterations, success, sigma,
+    sigma_actual).
+    """
+    engine = staged_kw.get("engine", "xla")
+    core = _staged_core_builder(code, max_iters, **staged_kw)
+    transmit = _transmit_fn(code.n, scale_llr)
+    cache: dict = {}
+
+    def build(b):
+        decode = core(b)
+
+        def fn(key, snr_db):
+            llr, sigma, sigma_actual, unc = transmit(key, snr_db)
+            errors, iters, success = decode(llr)
+            return {
+                "errors_uncoded": unc,
+                "errors_decoded": errors,
+                "iterations": iters,
+                "success": success,
+                "sigma": sigma,
+                "sigma_actual": sigma_actual,
+            }
+
+        return jax.jit(fn, compiler_options=_pallas_compiler_options(engine))
+
+    def step(key, snr_db):
+        snr_db = jnp.asarray(snr_db)
+        b = snr_db.shape[0]
+        if b not in cache:
+            cache[b] = build(b)
+        return cache[b](key, snr_db)
+
+    return step
+
+
+def _staged_core_builder(code: QCCode, max_iters: int, *,
+                         phase1_iters: int | Sequence[int] = 12,
+                         redo_capacity=None, kind: str = "min-sum",
+                         dtype=jnp.float32, store_dtype=None,
+                         schedule: str = "flooding", engine: str = "xla",
+                         **decoder_kw):
+    """Shared staged-cascade builder: returns ``core(b)`` producing the
+    UNJITTED ``fn(llr[b, n]) -> (errors, iterations, success)`` (callers
+    jit it, composing extra work into the same dispatch — see
+    :func:`make_staged_decoder_device` / :func:`make_staged_sweep_device`
+    for the semantics and parameter docs)."""
     del decoder_kw  # engine fns take no extra kwargs today
     if schedule != "flooding" and engine != "pallas":
         raise ValueError("schedules other than flooding need the pallas "
@@ -212,18 +293,9 @@ def make_staged_decoder_device(code: QCCode, max_iters: int = 50, *,
                 out = fix_stage(cfn, cap, out + (llr,))
             return out
 
-        return jax.jit(fn, compiler_options=_pallas_compiler_options(engine))
+        return fn
 
-    cache: dict = {}
-
-    def staged(llr):
-        llr = jnp.asarray(llr)
-        b = llr.shape[0]
-        if b not in cache:
-            cache[b] = build(b)
-        return cache[b](llr)
-
-    return staged
+    return build
 
 
 # Single capability probe shared by all engines (sim, parallel, bench).
@@ -397,10 +469,10 @@ def evaluate_code(code: QCCode,
     exceeds this reference value (the reference's early abort,
     ldpc.py:473-475 / the env's budget guard).
 
-    ``staged=True`` decodes each batch in two phases with the whole
-    gather/re-decode/merge jitted on device (one dispatch per batch, see
-    :func:`make_staged_decoder_device`) — bit-identical statistics, ~3x
-    faster at operating SNRs and round-trip-free through high-latency
+    ``staged=True`` decodes each batch in phases with transmit + the
+    whole gather/re-decode/merge fused into ONE jitted dispatch per batch
+    (see :func:`make_staged_sweep_device`) — bit-identical statistics,
+    ~3x faster at operating SNRs and round-trip-free through high-latency
     links.  ``engine="pallas"`` additionally routes the staged decodes
     through the VMEM-resident kernel (``ops/pallas_static.py``).
 
@@ -414,9 +486,9 @@ def evaluate_code(code: QCCode,
     Monte-Carlo error, not sample-for-sample (different PRNG family).
     """
     if staged:
-        transmit = _transmit_fn(code.n, scale_llr)
-        staged_dec = make_staged_decoder_device(
-            code, max_iters, phase1_iters=phase1_iters, kind=kind,
+        step = make_staged_sweep_device(
+            code, max_iters, scale_llr=scale_llr,
+            phase1_iters=phase1_iters, kind=kind,
             dtype=dtype, engine=engine, store_dtype=store_dtype)
     else:
         step = sweep_step(code, max_iters, kind=kind, scale_llr=scale_llr,
@@ -447,21 +519,8 @@ def evaluate_code(code: QCCode,
             b = min(batch_size, num_transmissions - done_words)
             key = jax.random.fold_in(jax.random.fold_in(root, s_idx),
                                      done_words)
-            if staged:
-                llr, sigma, sigma_actual, unc = transmit(
-                    key, jnp.full((b,), snr, jnp.float32))
-                errs, iters, ok = staged_dec(llr)
-                out = jax.device_get({
-                    "errors_uncoded": unc,
-                    "errors_decoded": errs,
-                    "iterations": iters,
-                    "success": ok,
-                    "sigma": sigma,
-                    "sigma_actual": sigma_actual,
-                })
-            else:
-                out = jax.device_get(
-                    step(key, jnp.full((b,), snr, jnp.float32)))
+            out = jax.device_get(
+                step(key, jnp.full((b,), snr, jnp.float32)))
             stats.add_batch(
                 snr=np.full(b, snr), sigma=out["sigma"],
                 sigma_actual=out["sigma_actual"],

@@ -295,3 +295,37 @@ def test_device_staged_multi_stage_cascade_exact():
         assert np.array_equal(e, np.asarray(ref.hard).sum(axis=1))
         assert np.array_equal(it, np.asarray(ref.iterations))
         assert np.array_equal(ok, np.asarray(ref.success))
+
+
+def test_fused_sweep_matches_transmit_plus_staged():
+    """make_staged_sweep_device (transmit + staged cascade in ONE
+    dispatch) returns exactly the same per-word results and channel
+    stats as transmitting and staged-decoding separately with the same
+    key — fusion must be a dispatch-count optimization only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ldpc_tpu.codes import wifi_code
+    from ldpc_tpu.sim.evaluate import (_transmit_fn,
+                                       make_staged_decoder_device,
+                                       make_staged_sweep_device)
+
+    wifi = wifi_code()
+    B = 24
+    key = jax.random.key(41)
+    snr = jnp.full((B,), 3.0, jnp.float32)
+    fused = make_staged_sweep_device(wifi, 20, phase1_iters=4,
+                                     redo_capacity=8)
+    out = {k: np.asarray(v) for k, v in fused(key, snr).items()}
+
+    transmit = _transmit_fn(wifi.n, scale_llr=False)
+    llr, sigma, sigma_actual, unc = transmit(key, snr)
+    staged = make_staged_decoder_device(wifi, 20, phase1_iters=4,
+                                        redo_capacity=8)
+    e, it, ok = staged(llr)
+    assert np.array_equal(out["errors_decoded"], np.asarray(e))
+    assert np.array_equal(out["iterations"], np.asarray(it))
+    assert np.array_equal(out["success"], np.asarray(ok))
+    assert np.array_equal(out["errors_uncoded"], np.asarray(unc))
+    np.testing.assert_allclose(out["sigma"], np.asarray(sigma))
+    np.testing.assert_allclose(out["sigma_actual"], np.asarray(sigma_actual))
