@@ -73,9 +73,12 @@ def main():
         # Transmit + staged cascade fused into ONE dispatch per batch
         # (the second dispatch through the ~33 ms tunnel and the [B, n]
         # f32 LLR HBM round trip are pure overhead).
+        tile_env = os.environ.get("LDPC_TPU_BENCH_TILE_B")
         step = make_staged_sweep_device(
             code, max_iters, phase1_iters=phases,
             redo_capacity=caps, engine=eng,
+            **({"tile_b": int(tile_env)} if eng == "pallas" and tile_env
+               else {}),
             **({"store_dtype": dt} if eng == "pallas" and dt else
                {"dtype": jnp.dtype(dt)} if dt else {}))
 

@@ -72,6 +72,11 @@ def main(argv=None):
     parser.add_argument("--data_dir", type=str,
                         default=f"/tmp/experiments/{int(time.time())}")
     parser.add_argument("--num_transmissions", type=int, default=10)
+    parser.add_argument("--snr", type=float, nargs="+", default=None,
+                        help="env SNR points (default 3.0 3.2 3.4, "
+                             "ldpc_env.py:88; e.g. 3.0 3.2 3.4 3.6 3.8 "
+                             "searches the reference's wide reward window, "
+                             "postProcessing.py:18)")
     args = parser.parse_args(argv)
 
     from ..envs.code_search import LdpcCodeSearchEnv
@@ -86,8 +91,9 @@ def main(argv=None):
         output_dir=f"{args.data_dir}/{args.exp_name}/"
                    f"{args.exp_name}_s{args.seed}",
         exp_name=args.exp_name)
+    env_kw = {} if args.snr is None else {"snr_points": tuple(args.snr)}
     return ppo(lambda: LdpcCodeSearchEnv(
-        seed=args.seed, num_transmissions=args.num_transmissions),
+        seed=args.seed, num_transmissions=args.num_transmissions, **env_kw),
         ppo_cfg, logger=logger,
         checkpoint_dir=f"{args.data_dir}/{args.exp_name}/checkpoints")
 

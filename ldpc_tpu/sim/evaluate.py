@@ -214,12 +214,13 @@ def _staged_core_builder(code: QCCode, max_iters: int, *,
                          redo_capacity=None, kind: str = "min-sum",
                          dtype=jnp.float32, store_dtype=None,
                          schedule: str = "flooding", engine: str = "xla",
-                         **decoder_kw):
+                         tile_b: int | None = None, **decoder_kw):
     """Shared staged-cascade builder: returns ``core(b)`` producing the
     UNJITTED ``fn(llr[b, n]) -> (errors, iterations, success)`` (callers
     jit it, composing extra work into the same dispatch — see
     :func:`make_staged_decoder_device` / :func:`make_staged_sweep_device`
-    for the semantics and parameter docs)."""
+    for the semantics and parameter docs).  ``tile_b`` overrides the
+    Pallas kernel's codeword tile (lane axis; scheduling lever)."""
     del decoder_kw  # engine fns take no extra kwargs today
     if schedule != "flooding" and engine != "pallas":
         raise ValueError("schedules other than flooding need the pallas "
@@ -239,14 +240,16 @@ def _staged_core_builder(code: QCCode, max_iters: int, *,
         kv for kv in (
             ("store_dtype", jnp.dtype(store_dtype).name)
             if store_dtype is not None else None,
-            ("schedule", schedule) if schedule != "flooding" else None)
+            ("schedule", schedule) if schedule != "flooding" else None,
+            ("tile_b", int(tile_b)) if tile_b is not None else None)
         if kv is not None)
 
     def build(b):
         def round_cap(c):
             c = c or max(1, b // 4)
             if engine == "pallas":
-                c = max(128, -(-c // 128) * 128)
+                t = int(tile_b) if tile_b else 128
+                c = max(t, -(-c // t) * t)
             return min(c, b)
 
         caps = [round_cap(c) for c in caps_in]
@@ -355,16 +358,19 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
     schedule = kw.pop("schedule", "flooding")
     alpha = float(kw.pop("alpha", 0.75))
     beta = float(kw.pop("beta", 0.15))
+    tile_b = kw.pop("tile_b", None)
     if kw:
         raise ValueError(
             f"unsupported pallas engine options: {sorted(kw)}")
     key = ("pallas", code, max_iters, store.name, schedule,
-           kind, alpha, beta, nested)
+           kind, alpha, beta, tile_b, nested)
     fn = _COUNTS_CACHE.get(key)
     if fn is None:
         from ..ops.pallas_static import make_static_sweep_decoder
         interp = not _on_tpu_hardware()
-        tile = 4 if interp else 128   # interpret mode: small tiles, CPU
+        # tile_b is the kernel's lane (codeword) axis: a scheduling lever
+        # on hardware (live set scales with it), a multiple of 128.
+        tile = (int(tile_b) if tile_b else 4 if interp else 128)
         dec = make_static_sweep_decoder(code, max_iters, tile_b=tile,
                                         store_dtype=store,
                                         schedule=schedule, kind=kind,

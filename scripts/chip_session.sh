@@ -36,7 +36,9 @@ step quantized_ber 1800 python scripts/quantized_ber.py
 # 4. wifi sum-product pallas waterfall (novel but small kernels)
 step wifi_pallas 1800 python scripts/wifi_waterfall.py --engine pallas --words 8192
 
-# 5. scheduling A/B (novel barrier kernels, biggest wedge risk — last)
-step sched_ab 2400 python scripts/sched_ab.py --strides 0,4 --trials 3
+# 5. scheduling A/B (novel barrier kernels, biggest wedge risk — last):
+#    dep_stride x tile_b cartesian; tile 256 doubles the live set and may
+#    be rejected at compile time by the scoped-VMEM ceiling (safe).
+step sched_ab 3300 python scripts/sched_ab.py --strides 0,4 --tile-bs 128,256 --trials 3
 
 echo "ALL DONE $(date -u)" | tee -a "$LOG"

@@ -26,6 +26,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--strides", default="0,4,8")
+    ap.add_argument("--tile-bs", default="128",
+                    help="comma list of kernel codeword tiles (lane axis, "
+                         "multiples of 128); live set scales with tile, so "
+                         "this is a second scheduling lever")
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--mi", type=int, default=10)
     ap.add_argument("--snr", type=float, default=3.4)
@@ -33,6 +37,9 @@ def main():
     ap.add_argument("--store", default="bfloat16")
     args = ap.parse_args()
     strides = [int(s) for s in args.strides.split(",")]
+    tiles = [int(t) for t in args.tile_bs.split(",")]
+    # variants = cartesian (stride, tile); tile 128 first (familiar compile)
+    variants = [(s, t) for t in tiles for s in strides]
 
     from ldpc_tpu.codes import near_earth_code
     from ldpc_tpu.ops.pallas_static import make_static_sweep_decoder
@@ -63,55 +70,64 @@ def main():
     store = jnp.dtype(args.store)
 
     decs = {}
-    for s in strides:
+    for v in variants:
+        s, tb = v
         t0 = time.time()
         dec = make_static_sweep_decoder(code, max_iters=args.mi,
-                                        store_dtype=store, dep_stride=s)
+                                        store_dtype=store, dep_stride=s,
+                                        tile_b=tb)
         # compile + warm with a distinct input
         noisy, _, _ = transmit_zero_codeword(
-            jax.random.key(1000 + s), args.batch, code.n, args.snr)
+            jax.random.key(1000 + s + 31 * tb), args.batch, code.n,
+            args.snr)
         out = jax.device_get(dec(noisy))
-        print(f"stride {s}: compiled+warm in {time.time()-t0:.1f} s, "
+        print(f"stride {s} tile {tb}: compiled+warm in "
+              f"{time.time()-t0:.1f} s, "
               f"nfail={int((~out[2].astype(bool)).sum())}", flush=True)
-        decs[s] = dec
+        decs[v] = dec
 
-    # shared-input exactness: gating must be value-identical on chip too
+    # shared-input exactness: every variant must be value-identical on
+    # chip (dep_stride is a pure scheduling barrier; tile size only
+    # regroups lanes and words are lane-independent — the tile-level
+    # all_done predication skips work only when every lane has latched).
     shared, _, _ = transmit_zero_codeword(jax.random.key(5), args.batch,
                                           code.n, args.snr)
-    ref = jax.device_get(decs[strides[0]](shared))
-    for s in strides[1:]:
-        out = jax.device_get(decs[s](shared))
+    ref = jax.device_get(decs[variants[0]](shared))
+    for v in variants[1:]:
+        out = jax.device_get(decs[v](shared))
         same = all(np.array_equal(a, b) for a, b in zip(ref, out))
-        print(f"stride {s} exactness vs stride {strides[0]}: "
+        print(f"stride {v[0]} tile {v[1]} exactness vs {variants[0]}: "
               f"{'BIT-IDENTICAL' if same else 'MISMATCH'}", flush=True)
 
-    times = {s: [] for s in strides}
-    fails = {s: [] for s in strides}
+    times = {v: [] for v in variants}
+    fails = {v: [] for v in variants}
     for t in range(args.trials):
-        for s in strides:
+        for v in variants:
+            s, tb = v
             noisy, _, _ = transmit_zero_codeword(
-                jax.random.key(7919 * t + s + 1), args.batch, code.n,
-                args.snr)
+                jax.random.key(7919 * t + s + 31 * tb + 1), args.batch,
+                code.n, args.snr)
             noisy = jax.device_put(noisy)
             jax.device_get(noisy)          # stage input before timing
             t0 = time.time()
-            out = jax.device_get(decs[s](noisy))
+            out = jax.device_get(decs[v](noisy))
             dt = time.time() - t0
-            times[s].append(dt)
-            fails[s].append(int((~out[2].astype(bool)).sum()))
-            print(f"trial {t} stride {s}: {dt*1e3:8.1f} ms  "
-                  f"nfail={fails[s][-1]}", flush=True)
+            times[v].append(dt)
+            fails[v].append(int((~out[2].astype(bool)).sum()))
+            print(f"trial {t} stride {s} tile {tb}: {dt*1e3:8.1f} ms  "
+                  f"nfail={fails[v][-1]}", flush=True)
 
     print("\n== summary (best of trials, B=%d mi=%d %s @%.1f dB) ==" %
           (args.batch, args.mi, args.store, args.snr))
-    base = min(times[strides[0]])
-    for s in strides:
-        b = min(times[s])
-        ntile = args.batch // 128
-        print(f"stride {s:3d}: best {b*1e3:8.1f} ms  "
-              f"({b/args.mi/ntile*1e6:6.1f} us/tile-iter)  "
-              f"vs stride-{strides[0]}: {b/base:.3f}x  "
-              f"nfail={sorted(set(fails[s]))}")
+    base = min(times[variants[0]])
+    for v in variants:
+        s, tb = v
+        b = min(times[v])
+        ntile = args.batch // 128   # us/tile-iter normalized to 128 words
+        print(f"stride {s:3d} tile {tb:4d}: best {b*1e3:8.1f} ms  "
+              f"({b/args.mi/ntile*1e6:6.1f} us/128w-iter)  "
+              f"vs {variants[0]}: {b/base:.3f}x  "
+              f"nfail={sorted(set(fails[v]))}")
 
 
 if __name__ == "__main__":

@@ -278,3 +278,47 @@ def test_int8_message_memory_small():
     e8, _, ok8 = d8(noisy)
     assert abs(int(np.asarray(e8).sum()) - int(np.asarray(ef).sum())) \
         <= 0.05 * code.n * 8 + 8
+
+
+def test_tile_b_regrouping_is_bit_identical():
+    """tile_b (the kernel's codeword/lane tile) only regroups lanes;
+    words are lane-independent, so any tile size must produce identical
+    (errors, iterations, success) — the contract the on-chip tile_b
+    scheduling A/B (scripts/sched_ab.py --tile-bs) relies on.  Low SNR
+    so some words fail (exercises post-convergence latching too)."""
+    from ldpc_tpu.codes.qc import QCCode
+
+    rng = np.random.default_rng(3)
+    shifts = tuple(
+        tuple((int(rng.integers(11)),) for _ in range(6)) for _ in range(2))
+    code = QCCode(z=11, shifts=shifts, name="tiletest")
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(5), 16, code.n, 0.5)
+    outs = [
+        np.asarray(jax.device_get(
+            make_static_sweep_decoder(code, max_iters=6, tile_b=tb,
+                                      store_dtype=jnp.float32,
+                                      interpret=True)(noisy)))
+        for tb in (4, 8, 16)
+    ]
+    assert (~outs[0][2].astype(bool)).sum() > 0  # some words failed
+    for other in outs[1:]:
+        assert np.array_equal(outs[0], other)
+
+
+def test_staged_device_tile_b_plumbing():
+    """make_staged_decoder_device(tile_b=...) reaches the Pallas engine
+    and leaves results identical (caps round to the tile)."""
+    from ldpc_tpu.codes.qc import QCCode
+    from ldpc_tpu.sim.evaluate import make_staged_decoder_device
+
+    rng = np.random.default_rng(0)
+    shifts = tuple(
+        tuple((int(rng.integers(7)),) for _ in range(6)) for _ in range(2))
+    code = QCCode(z=7, shifts=shifts, name="tilestage")
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(2), 16, code.n, 1.0)
+    r1 = jax.device_get(make_staged_decoder_device(
+        code, 8, phase1_iters=3, engine="pallas")(noisy))
+    r2 = jax.device_get(make_staged_decoder_device(
+        code, 8, phase1_iters=3, engine="pallas", tile_b=8)(noisy))
+    for a, b in zip(r1, r2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
