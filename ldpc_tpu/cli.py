@@ -45,15 +45,26 @@ def cmd_evaluate(args):
     from .sim import evaluate_code
     code = _get_code(args.code)
     import jax.numpy as jnp
-    stats = evaluate_code(
-        code, args.snr, args.transmissions, args.iterations,
-        seed=args.seed, batch_size=args.batch_size, kind=args.kind,
-        scale_llr=(args.kind == "sum-product"),
-        staged=not args.no_staged, engine=args.engine,
-        phase1_iters=[int(p) for p in str(args.phase_iters).split(",")],
-        store_dtype=(jnp.dtype(args.store_dtype)
-                     if args.store_dtype else None),
-        verbose=True)
+    if args.sharded:
+        # the reference wrapper's numberOfCudaDevices path
+        # (ldpcCUDA.py:891-932): split the batch over every visible
+        # device, merge counters with psum
+        from .parallel import evaluate_code_sharded
+        stats = evaluate_code_sharded(
+            code, args.snr, args.transmissions, args.iterations,
+            seed=args.seed, batch_size=args.batch_size, kind=args.kind,
+            scale_llr=(args.kind == "sum-product"), engine=args.engine,
+            verbose=True)
+    else:
+        stats = evaluate_code(
+            code, args.snr, args.transmissions, args.iterations,
+            seed=args.seed, batch_size=args.batch_size, kind=args.kind,
+            scale_llr=(args.kind == "sum-product"),
+            staged=not args.no_staged, engine=args.engine,
+            phase1_iters=[int(p) for p in str(args.phase_iters).split(",")],
+            store_dtype=(jnp.dtype(args.store_dtype)
+                         if args.store_dtype else None),
+            verbose=True)
     print(json.dumps(stats.summary()))
     if args.plot:
         from .analysis import plot_snr_vs_ber
@@ -193,6 +204,10 @@ def main(argv=None):
                    choices=["bfloat16", "float32", "int8"],
                    help="pallas engine VMEM state dtype (int8 = Q4.3 "
                         "fixed-point message memory)")
+    e.add_argument("--sharded", action="store_true",
+                   help="evaluate over every visible device (mesh + psum "
+                        "counter merge; evaluateCodeCudaWrapper's "
+                        "numberOfCudaDevices equivalent)")
     e.add_argument("--phase-iters", default="12",
                    help="staged-decode cascade budgets, e.g. '6,16' for "
                         "6 -> 16 -> full-iteration stages (exactly "
