@@ -76,6 +76,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import os
+    if os.environ.get("LDPC_TPU_PLATFORM"):
+        # sitecustomize registers the tunnelled backend before
+        # JAX_PLATFORMS is honoured; the config route still works
+        jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
     import jax.numpy as jnp
 
     from ldpc_tpu.codes import near_earth_code

@@ -24,6 +24,7 @@ Writes docs/kernel_roofline.json and prints a markdown-ready table.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -31,6 +32,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+if os.environ.get("LDPC_TPU_PLATFORM"):
+    # sitecustomize registers the tunnelled backend before JAX_PLATFORMS
+    # is honoured; the config route still works (see ldpc_tpu/cli.py)
+    jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,6 +13,7 @@ Run ON THE REAL CHIP:
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -20,6 +21,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+if os.environ.get("LDPC_TPU_PLATFORM"):
+    # sitecustomize registers the tunnelled backend before JAX_PLATFORMS
+    # is honoured; the config route still works (see ldpc_tpu/cli.py)
+    jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,14 +37,18 @@ def main():
                     default=[3.0, 3.2, 3.4, 3.6])
     ap.add_argument("--max-iters", type=int, default=50)
     ap.add_argument("--stores", nargs="+", default=["bfloat16", "int8"])
+    ap.add_argument("--code", default="near-earth",
+                    help="near-earth (production study) or wifi (CPU smoke)")
+    ap.add_argument("--no-write", action="store_true",
+                    help="skip writing docs/ artifacts (smoke runs)")
     args = ap.parse_args()
     b = args.words
 
-    from ldpc_tpu.codes import near_earth_code
+    from ldpc_tpu.codes import near_earth_code, wifi_code
     from ldpc_tpu.sim.evaluate import (_transmit_fn,
                                        make_staged_decoder_device)
 
-    code = near_earth_code()
+    code = wifi_code() if args.code == "wifi" else near_earth_code()
     transmit = _transmit_fn(code.n, scale_llr=False)
     key = jax.random.key(411)
 
@@ -73,12 +83,13 @@ def main():
                   f"Mbit/s", flush=True)
         results["stores"][store] = pts
 
-    with open("/root/repo/docs/quantized_ber.json", "w") as f:
-        json.dump(results, f, indent=1)
+    if not args.no_write:
+        with open("/root/repo/docs/quantized_ber.json", "w") as f:
+            json.dump(results, f, indent=1)
 
     md = ["# int8 fixed-point message memory vs floating storage",
           "",
-          f"Near-earth (8176,7154), min-sum, max {args.max_iters} "
+          f"{args.code} (n={code.n}), min-sum, max {args.max_iters} "
           f"iterations, {b} words/point, device-staged Pallas kernel, "
           "identical noise per point across storage dtypes.  int8 = "
           "Q4.3 quantize-on-store (step 1/8, saturate +-15.875) — the "
@@ -91,8 +102,9 @@ def main():
             f"{p['ber']:.2e} | {p['fer']:.4f} | {p['mbit_s']:.0f}"
             for p in pts)
         md.append(f"| {store} | {cells} |")
-    with open("/root/repo/docs/quantized_ber.md", "w") as f:
-        f.write("\n".join(md) + "\n")
+    if not args.no_write:
+        with open("/root/repo/docs/quantized_ber.md", "w") as f:
+            f.write("\n".join(md) + "\n")
     print("\n".join(md))
 
 

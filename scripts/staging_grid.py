@@ -20,12 +20,18 @@ Run ON THE REAL CHIP:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+if os.environ.get("LDPC_TPU_PLATFORM"):
+    # sitecustomize registers the tunnelled backend before JAX_PLATFORMS
+    # is honoured; the config route still works (see ldpc_tpu/cli.py)
+    jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,14 +43,16 @@ def main():
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--store", default="bfloat16")
     ap.add_argument("--max-iters", type=int, default=50)
+    ap.add_argument("--code", default="near-earth",
+                    help="near-earth (production grid) or wifi (CPU smoke)")
     args = ap.parse_args()
     b = args.batch
 
-    from ldpc_tpu.codes import near_earth_code
+    from ldpc_tpu.codes import near_earth_code, wifi_code
     from ldpc_tpu.sim.evaluate import (_transmit_fn,
                                        make_staged_decoder_device)
 
-    code = near_earth_code()
+    code = wifi_code() if args.code == "wifi" else near_earth_code()
     transmit = _transmit_fn(code.n, scale_llr=False)
 
     # (phases, caps) — caps in words, rounded to the 128 tile inside.

@@ -33,9 +33,17 @@ def main():
     ap.add_argument("--engine", default="xla", choices=["xla", "pallas"],
                     help="pallas = the VMEM sum-product kernel "
                          "(per-edge phi stash); ~10x on hardware")
+    ap.add_argument("--out-prefix", default="wifi_waterfall",
+                    help="artifact basename under docs/ (smoke runs should "
+                         "redirect, e.g. /tmp/wifi_smoke)")
     args = ap.parse_args()
 
     import jax
+    import os
+    if os.environ.get("LDPC_TPU_PLATFORM"):
+        # sitecustomize registers the tunnelled backend before
+        # JAX_PLATFORMS is honoured; the config route still works
+        jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
     import jax.numpy as jnp
 
     from ldpc_tpu.analysis.plots import pam2_ber, plot_snr_vs_ber
@@ -53,6 +61,11 @@ def main():
         0.75: [1.0, 1.5, 2.0, 2.5],
         5 / 6: [2.0, 2.5, 3.0, 3.5, 4.0],
     }
+
+    def out_path(ext):
+        pre = args.out_prefix
+        base = pre if "/" in pre else f"/root/repo/docs/{pre}"
+        return f"{base}.{ext}"
 
     key = jax.random.key(80211)
     results: dict = {"words": args.words, "max_iters": args.max_iters,
@@ -101,7 +114,7 @@ def main():
                         [p["ber"] for p in pts])
     results["elapsed_s"] = time.time() - t0
 
-    with open("/root/repo/docs/wifi_waterfall.json", "w") as f:
+    with open(out_path("json"), "w") as f:
         json.dump(results, f, indent=1)
 
     # combined plot (waterfalls per rate vs uncoded PAM-2)
@@ -125,8 +138,8 @@ def main():
         ax.grid(True, which="both", alpha=0.3)
         ax.legend()
         fig.tight_layout()
-        fig.savefig("/root/repo/docs/wifi_waterfall.png", dpi=120)
-        print("[wifi] wrote docs/wifi_waterfall.png", file=sys.stderr)
+        fig.savefig(out_path("png"), dpi=120)
+        print(f"[wifi] wrote {out_path('png')}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — plotting is best-effort
         print(f"[wifi] plot skipped: {e}", file=sys.stderr)
 
@@ -151,7 +164,7 @@ def main():
         md.append(f"| {float(rate_s):.3g} | {cells} |")
     md += ["", "![waterfall](wifi_waterfall.png)",
            f"", f"(elapsed {results['elapsed_s']:.0f}s)"]
-    with open("/root/repo/docs/wifi_waterfall.md", "w") as f:
+    with open(out_path("md"), "w") as f:
         f.write("\n".join(md) + "\n")
     print("\n".join(md))
 
