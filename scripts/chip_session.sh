@@ -27,6 +27,9 @@ step probe 60 python -c "import jax, jax.numpy as jnp; print(float(jax.device_ge
 # 1. the headline bench (familiar kernel shapes; must work at round end)
 step bench 1500 python bench.py
 
+# 1b. deep error-floor sweep (identical kernel shapes to bench — cheap)
+step error_floor 1800 python scripts/error_floor.py
+
 # 2. staging cascade grid (new mi budgets: 6/8/16)
 step staging_grid 2400 python scripts/staging_grid.py --trials 3
 
