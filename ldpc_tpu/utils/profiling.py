@@ -75,10 +75,27 @@ _PEAKS = {
 
 
 def device_roofline(device=None) -> dict:
-    """Peak specs of the attached device kind (best-effort lookup)."""
+    """Peak specs of the attached device kind, plus MEASURED in-kernel
+    primitive costs when the committed roofline artifact exists
+    (``docs/kernel_roofline.json``, produced by
+    ``scripts/kernel_microbench.py`` fori-slope probes on hardware — the
+    published-peak sheet alone is not a measurement)."""
     device = device or jax.devices()[0]
     kind = getattr(device, "device_kind", "").lower()
+    out = {"device_kind": getattr(device, "device_kind", "unknown")}
     for name, peaks in _PEAKS.items():
         if name in kind:
-            return {"device_kind": device.device_kind, **peaks}
-    return {"device_kind": getattr(device, "device_kind", "unknown")}
+            out.update(peaks)
+            break
+    import json
+    import os
+    artifact = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "docs",
+        "kernel_roofline.json")
+    if os.path.exists(artifact):
+        try:
+            with open(artifact) as f:
+                out["measured"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+    return out
