@@ -90,3 +90,16 @@ def test_cli_perturb(tmp_path, capsys):
     main(["perturb", "--code", "wifi", "--out", str(tmp_path)])
     out = json.loads(capsys.readouterr().out.strip())
     assert out["written"] == 4 * 24
+
+
+def test_cli_evaluate_sharded(capsys):
+    """--sharded routes through the mesh evaluator (psum counter merge,
+    the reference's evaluateCodeCudaWrapper numberOfCudaDevices path)."""
+    from ldpc_tpu.cli import main
+    main(["evaluate", "--code", "wifi", "--snr", "4.0",
+          "--transmissions", "8", "--iterations", "8",
+          "--batch-size", "8", "--sharded"])
+    out = capsys.readouterr()
+    summary = json.loads(out.out.strip().splitlines()[-1])
+    assert summary["transmissions"] >= 8
+    assert summary["ber"][0] <= 1e-2
