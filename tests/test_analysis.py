@@ -98,3 +98,9 @@ def test_code_instance_mat_roundtrip(tmp_path):
     assert path.exists()
     loaded, payload = load_code_instance(path)
     assert np.array_equal(loaded.first_rows(), code.first_rows())
+    # reference consumers read these exact keys (fileHandler.py:216-228)
+    import scipy.io
+    raw = scipy.io.loadmat(path)
+    assert "parityMatrix" in raw and "fileName" in raw
+    assert np.array_equal(np.atleast_2d(raw["parityMatrix"]),
+                          code.to_dense())
