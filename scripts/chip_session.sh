@@ -10,8 +10,25 @@ cd /root/repo
 LOG=docs/chip_session_r2.log
 : > "$LOG"
 
+wait_tunnel() {
+  # Up to ~7 min of quick probes: a re-wedged tunnel must not burn every
+  # remaining step's full timeout.  Returns 0 when the device answers.
+  for i in 1 2 3; do
+    if timeout 60 python -c "import jax, jax.numpy as jnp; jax.device_get(jnp.ones((8,128)).sum())" >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "    (tunnel probe $i failed $(date -u +%H:%M:%S))" | tee -a "$LOG"
+    sleep 120
+  done
+  return 1
+}
+
 step() {
   local name="$1" tmo="$2"; shift 2
+  if ! wait_tunnel; then
+    echo "=== $name SKIPPED: tunnel dead ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+    return 0
+  fi
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
   timeout "$tmo" "$@" >> "$LOG" 2>&1
   local rc=$?
