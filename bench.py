@@ -16,6 +16,14 @@ automatically if the kernel fails to build on the current toolchain.
 Overrides: LDPC_TPU_BENCH_ENGINE=xla|pallas, LDPC_TPU_BENCH_DTYPE,
 LDPC_TPU_BENCH_BATCH.
 
+Tunnel resilience (round-2 postmortem: BENCH_r02 was lost to a down
+tunnel): the measurement runs in a CHILD process supervised by this
+script.  The supervisor probes the backend in a throwaway subprocess
+(a failed in-process backend init is cached by JAX and unrecoverable),
+retries the child on wedge/timeout, and on terminal failure emits the
+one-line JSON with an explicit ``"error": "tpu-unavailable"`` instead of
+a traceback.  ``LDPC_TPU_BENCH_CHILD=1`` runs the measurement directly.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "bit/s", "vs_baseline": N}
 plus detail lines on stderr.
@@ -23,14 +31,114 @@ plus detail lines on stderr.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+METRIC = "near_earth_decoded_throughput_3p4dB_50iters"
+BASELINE_AT_3P4 = 42335.2  # RTX 3080, reference common.py:34
+SNR_POINTS = [3.0, 3.2, 3.4, 3.6]
 
 
-def main():
+def emit(value, vs_baseline, extra=None):
+    line = {"metric": METRIC, "value": value, "unit": "bit/s",
+            "vs_baseline": vs_baseline}
+    if extra:
+        line.update(extra)
+    print(json.dumps(line))
+    sys.stdout.flush()
+
+
+# --------------------------------------------------------------------------
+# Supervisor: probe / launch child / retry / emit terminal JSON
+# --------------------------------------------------------------------------
+
+def probe_backend(timeout_s=120):
+    """True when a fresh subprocess can run one op on the default backend."""
+    # sitecustomize registers the tunnelled backend before JAX_PLATFORMS is
+    # honoured; the jax.config route still works (cf. cli.py:26-31), so the
+    # probe respects LDPC_TPU_PLATFORM the same way the measurement does.
+    code = ("import os, jax; "
+            "p = os.environ.get('LDPC_TPU_PLATFORM'); "
+            "p and jax.config.update('jax_platforms', p); "
+            "import jax.numpy as jnp; "
+            "jax.device_get(jnp.ones((8, 128)).sum())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def wait_backend(probes=None, sleep_s=None):
+    probes = probes or int(os.environ.get("LDPC_TPU_BENCH_PROBES", "3"))
+    sleep_s = sleep_s if sleep_s is not None else int(
+        os.environ.get("LDPC_TPU_BENCH_PROBE_SLEEP", "120"))
+    for i in range(probes):
+        t0 = time.time()
+        if probe_backend():
+            return True
+        print(f"[bench] backend probe {i + 1}/{probes} failed "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr)
+        if i + 1 < probes:
+            time.sleep(sleep_s)
+    return False
+
+
+def supervise():
+    attempts = int(os.environ.get("LDPC_TPU_BENCH_ATTEMPTS", "2"))
+    child_timeout = int(os.environ.get("LDPC_TPU_BENCH_CHILD_TIMEOUT",
+                                       "2100"))
+    env = dict(os.environ, LDPC_TPU_BENCH_CHILD="1")
+    last_err = "tpu-unavailable"
+    for attempt in range(1, attempts + 1):
+        if not wait_backend():
+            print(f"[bench] attempt {attempt}/{attempts}: backend never "
+                  "answered the probe", file=sys.stderr)
+            last_err = "tpu-unavailable"
+            continue
+        print(f"[bench] attempt {attempt}/{attempts}: backend up, "
+              "launching measurement child", file=sys.stderr)
+        try:
+            # stderr inherits (detail lines stream through); stdout is
+            # captured so the child's JSON line becomes OUR output.
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=child_timeout,
+                               stdout=subprocess.PIPE, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {attempt}: child timed out after "
+                  f"{child_timeout}s (tunnel wedge?)", file=sys.stderr)
+            last_err = "bench-timeout"
+            continue
+        line = None
+        for cand in reversed((r.stdout or "").strip().splitlines()):
+            try:
+                parsed = json.loads(cand)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(parsed, dict) and parsed.get("metric") == METRIC:
+                line = cand
+                break
+        if r.returncode == 0 and line:
+            print(line)
+            return 0
+        print(f"[bench] attempt {attempt}: child rc={r.returncode}, "
+              f"json={'yes' if line else 'no'}", file=sys.stderr)
+        last_err = "bench-failed"
+    emit(0.0, 0.0, {"error": last_err})
+    return 0
+
+
+# --------------------------------------------------------------------------
+# Child: the actual measurement
+# --------------------------------------------------------------------------
+
+def measure():
     import jax
+    if os.environ.get("LDPC_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
     import jax.numpy as jnp
 
     from ldpc_tpu.codes import near_earth_code
@@ -46,9 +154,6 @@ def main():
     # gather branch with margin while trimming padding-tile waste.
     batch = int(os.environ.get("LDPC_TPU_BENCH_BATCH",
                                jax.device_count() * 32768))
-    snr_points = [3.0, 3.2, 3.4, 3.6]
-    baseline_at_3p4 = 42335.2  # RTX 3080, common.py:34
-
     engine = os.environ.get("LDPC_TPU_BENCH_ENGINE", "pallas")
     # LDPC_TPU_BENCH_DTYPE sets the Pallas VMEM storage dtype (default
     # bfloat16: the f32 kernel's ~22 MB scoped schedule sits at the edge
@@ -103,18 +208,19 @@ def main():
         run(jax.random.fold_in(key, 999),
             jnp.full((batch,), 3.4, jnp.float32))
 
+    trials = int(os.environ.get("LDPC_TPU_BENCH_TRIALS", "4"))
     detail = {}
-    for snr in snr_points:
+    for si, snr in enumerate(SNR_POINTS):
         snr_arr = jnp.full((batch,), snr, jnp.float32)
+        point_key = jax.random.fold_in(key, si)  # distinct per SNR point
         # untimed warm pass per point (lazy branch compiles must not
         # leak into timing)
-        run(jax.random.fold_in(key, int(snr * 10) + 99), snr_arr)
-        trials = 4
+        run(jax.random.fold_in(point_key, trials), snr_arr)
         best = float("inf")
         for t in range(trials):
             t0 = time.time()
             errs, iters, succ = run(
-                jax.random.fold_in(key, int(snr * 10) + t), snr_arr)
+                jax.random.fold_in(point_key, t), snr_arr)
             best = min(best, time.time() - t0)
         bits = batch * code.n
         detail[snr] = {
@@ -135,27 +241,41 @@ def main():
     # inside the combined two-run Monte-Carlo band.  Surfaced here so a
     # regression fails loudly at bench time; engine equivalence on
     # converged words is separately exact (tests/test_pallas_static.py).
+    # The artifact is stamped with a hash of the decode-path sources; a
+    # mismatch means the gate is checking STALE data (warn, don't fail —
+    # the fresh BER printed above is the live check).
     parity_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "docs", "ber_parity.json")
     if os.path.exists(parity_path):
         with open(parity_path) as f:
             parity = json.load(f)
+        from ldpc_tpu.utils.provenance import kernel_source_hash
+        stamped = parity.get("kernel_hash")
+        current = kernel_source_hash()
+        if stamped != current:
+            print("[bench] WARNING: docs/ber_parity.json was recorded "
+                  f"against kernel hash {str(stamped)[:12]} but sources "
+                  f"are now {current[:12]} — rerun scripts/ber_parity.py",
+                  file=sys.stderr)
         engines_ok = all(pt.get("engines_agree", True)
                          for pt in parity.get("points", {}).values())
         ref_ok = all(e["within_band"] for e in parity.get("reference", [])
                      if e["reference_ber"] > 0)
         print(f"[bench] BER parity artifact: engines_agree={engines_ok} "
-              f"reference_within_band={ref_ok}", file=sys.stderr)
+              f"reference_within_band={ref_ok} "
+              f"fresh={stamped == current}", file=sys.stderr)
         assert engines_ok, (
             "Pallas kernel BER left the oracle engine's CI — rerun "
             "scripts/ber_parity.py and investigate before shipping")
     value = detail[3.4]["bit_per_s"]
-    print(json.dumps({
-        "metric": "near_earth_decoded_throughput_3p4dB_50iters",
-        "value": round(value, 1),
-        "unit": "bit/s",
-        "vs_baseline": round(value / baseline_at_3p4, 2),
-    }))
+    emit(round(value, 1), round(value / BASELINE_AT_3P4, 2))
+
+
+def main():
+    if os.environ.get("LDPC_TPU_BENCH_CHILD") == "1":
+        measure()
+    else:
+        sys.exit(supervise())
 
 
 if __name__ == "__main__":

@@ -85,6 +85,7 @@ def main():
 
     from ldpc_tpu.codes import near_earth_code
     from ldpc_tpu.sim.evaluate import _transmit_fn, make_staged_decoder_device
+    from ldpc_tpu.utils.provenance import kernel_source_hash
 
     code = near_earth_code()
     transmit = _transmit_fn(code.n, scale_llr=False)
@@ -98,7 +99,11 @@ def main():
             code, args.max_iters, phase1_iters=12, engine="pallas")
 
     results: dict = {"words_per_point": args.words, "n": code.n,
-                     "max_iters": args.max_iters, "points": {}}
+                     "max_iters": args.max_iters,
+                     # ties this artifact to the decode-path sources so
+                     # bench.py can detect staleness (advisor r2 finding)
+                     "kernel_hash": kernel_source_hash(),
+                     "points": {}}
     per_frame_errs: dict = {}
     for snr in snr_points:
         snr_arr = jnp.full((args.words,), float(snr), jnp.float32)
