@@ -45,26 +45,27 @@ def cmd_evaluate(args):
     from .sim import evaluate_code
     code = _get_code(args.code)
     import jax.numpy as jnp
+    common = dict(
+        seed=args.seed, batch_size=args.batch_size, kind=args.kind,
+        scale_llr=(args.kind == "sum-product"), engine=args.engine,
+        staged=not args.no_staged,
+        phase1_iters=[int(p) for p in str(args.phase_iters).split(",")],
+        store_dtype=(jnp.dtype(args.store_dtype)
+                     if args.store_dtype else None),
+        checkpoint_path=args.checkpoint,
+        early_abort_ber=args.early_abort_ber,
+        verbose=True)
     if args.sharded:
         # the reference wrapper's numberOfCudaDevices path
         # (ldpcCUDA.py:891-932): split the batch over every visible
-        # device, merge counters with psum
+        # device, merge counters with psum.  Accepts the same staged /
+        # dtype / resume knobs as the single-device path.
         from .parallel import evaluate_code_sharded
         stats = evaluate_code_sharded(
-            code, args.snr, args.transmissions, args.iterations,
-            seed=args.seed, batch_size=args.batch_size, kind=args.kind,
-            scale_llr=(args.kind == "sum-product"), engine=args.engine,
-            verbose=True)
+            code, args.snr, args.transmissions, args.iterations, **common)
     else:
         stats = evaluate_code(
-            code, args.snr, args.transmissions, args.iterations,
-            seed=args.seed, batch_size=args.batch_size, kind=args.kind,
-            scale_llr=(args.kind == "sum-product"),
-            staged=not args.no_staged, engine=args.engine,
-            phase1_iters=[int(p) for p in str(args.phase_iters).split(",")],
-            store_dtype=(jnp.dtype(args.store_dtype)
-                         if args.store_dtype else None),
-            verbose=True)
+            code, args.snr, args.transmissions, args.iterations, **common)
     print(json.dumps(stats.summary()))
     if args.plot:
         from .analysis import plot_snr_vs_ber
@@ -212,6 +213,12 @@ def main(argv=None):
                    help="staged-decode cascade budgets, e.g. '6,16' for "
                         "6 -> 16 -> full-iteration stages (exactly "
                         "equivalent results, less straggler waste)")
+    e.add_argument("--checkpoint", default=None,
+                   help="save statistics after every SNR point and resume "
+                        "past completed points on restart")
+    e.add_argument("--early-abort-ber", type=float, default=None,
+                   help="stop the sweep once a point's BER exceeds this "
+                        "reference value (ldpc.py:473-475)")
     e.add_argument("--plot", default=None)
     e.set_defaults(fn=cmd_evaluate)
 
