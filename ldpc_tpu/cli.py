@@ -45,11 +45,16 @@ def cmd_evaluate(args):
     from .sim import evaluate_code
     code = _get_code(args.code)
     import jax.numpy as jnp
+    # a phase budget must sit below the full iteration budget; drop the
+    # ones that don't (the default "12" with e.g. --iterations 8 simply
+    # means an unstaged decode)
+    phases = [int(p) for p in str(args.phase_iters).split(",")
+              if int(p) < args.iterations]
     common = dict(
         seed=args.seed, batch_size=args.batch_size, kind=args.kind,
         scale_llr=(args.kind == "sum-product"), engine=args.engine,
-        staged=not args.no_staged,
-        phase1_iters=[int(p) for p in str(args.phase_iters).split(",")],
+        staged=not args.no_staged and bool(phases),
+        phase1_iters=phases,
         store_dtype=(jnp.dtype(args.store_dtype)
                      if args.store_dtype else None),
         checkpoint_path=args.checkpoint,

@@ -46,15 +46,18 @@ def _is_chief() -> bool:
 
 
 def statistics_scalar(x, with_min_and_max: bool = False,
-                      distributed: bool = True):
+                      distributed: bool = False):
     """Global mean/std(/min/max) of an array across processes — the
     ``mpi_statistics_scalar`` equivalent (mpi_tools.py:73-95).
 
-    With ``distributed=True`` (default) and a multi-process JAX runtime,
-    the five sufficient statistics [sum, sumsq, n, min, max] are
-    all-gathered across hosts (one tiny collective) and combined, exactly
-    like the reference's MPI sum-reductions; single-process runs take the
-    local path (the ``num_procs()==1`` no-op, mpi_tools.py:75).
+    With ``distributed=True`` and a multi-process JAX runtime, the five
+    sufficient statistics [sum, sumsq, n, min, max] are all-gathered
+    across hosts (one tiny collective) and combined, exactly like the
+    reference's MPI sum-reductions; single-process runs take the local
+    path (the ``num_procs()==1`` no-op, mpi_tools.py:75).  The default is
+    LOCAL: a collective is only safe when every process calls with the
+    same key sequence, so symmetric callers (the RL epoch loggers) opt in
+    explicitly rather than every ad-hoc caller risking a deadlock.
     """
     x = np.asarray(x, np.float64).reshape(-1)
     if x.size == 0:
@@ -121,7 +124,12 @@ class EpochLogger:
     """
 
     def __init__(self, output_dir=None, output_fname: str = "progress.txt",
-                 exp_name: str | None = None):
+                 exp_name: str | None = None, distributed: bool = True):
+        # distributed=True: log_tabular aggregates across hosts (safe here
+        # because the RL loops call log_tabular with identical key
+        # sequences on every process — the reference's mpi_statistics_
+        # scalar contract, logx.py:311-396).
+        self.distributed = distributed
         self.active = _is_chief()
         self.exp_name = exp_name
         self.epoch_dict: dict[str, list] = {}
@@ -166,7 +174,8 @@ class EpochLogger:
         stored = self.epoch_dict.get(key) or [0.0]
         vals = np.concatenate([np.atleast_1d(np.asarray(v, np.float64))
                                for v in stored])
-        stats = statistics_scalar(vals, with_min_and_max=with_min_and_max)
+        stats = statistics_scalar(vals, with_min_and_max=with_min_and_max,
+                                  distributed=self.distributed)
         self._set("Average" + key, stats[0])
         if not average_only:
             self._set("Std" + key, stats[1])
