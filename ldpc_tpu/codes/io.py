@@ -232,6 +232,10 @@ def save_code_instance(code: QCCode, path, stats=None,
             "parityMatrix": dense_h,
             "fileName": hex_name,
             "nonZero": np.int64(int(dense_h.sum())),
+            # extra (reference consumers ignore unknown keys): the QC
+            # block size, so loading never has to guess z from the dense
+            # matrix or the filename
+            "circulantSize": np.int64(code.z),
         }
         if stats_v2 is not None:
             (scatter_snr, scatter_ber, scatter_itr, _snr_axis, avg_snr_axis,
@@ -254,6 +258,25 @@ def save_code_instance(code: QCCode, path, stats=None,
     return file_name
 
 
+def _infer_circulant_size(h: np.ndarray) -> int:
+    """Largest z dividing gcd(m, n) for which every z-block is circulant.
+
+    Drop-in interop with reference-produced .mat files whose filenames
+    don't encode z (advisor r2 finding: plain gcd is wrong for real QC
+    codes — near-earth gcd(1022, 8176) = 1022 vs z = 511).  z = 1 always
+    succeeds (1x1 blocks), so this terminates with a valid decomposition.
+    """
+    g = int(np.gcd(h.shape[0], h.shape[1]))
+    for z in sorted((d for d in range(1, g + 1) if g % d == 0),
+                    reverse=True):
+        try:
+            QCCode.from_dense(h, z=z)
+            return z
+        except ValueError:
+            continue
+    return 1
+
+
 def load_code_instance(path) -> tuple[QCCode, dict]:
     """Load a saved code instance (.npz or .mat); returns
     (code, dict-of-arrays)."""
@@ -264,13 +287,20 @@ def load_code_instance(path) -> tuple[QCCode, dict]:
                    if not k.startswith("__")}
         # Reference schema (fileHandler.py:216-228): dense 'parityMatrix' +
         # hex 'fileName'.  Recover the QC structure from the dense matrix;
-        # z is inferred from the filename convention '{z}_{Mb}_{Nb}_{sha}'.
+        # z comes from our explicit 'circulantSize' key when present, else
+        # the filename convention '{z}_{Mb}_{Nb}_{sha}', else a search
+        # over divisors of gcd(m, n) (a reference-produced .mat has
+        # neither hint; gcd itself is usually NOT a valid block size —
+        # e.g. gcd(1022, 8176) = 1022 vs z = 511 for near-earth).
         h = np.atleast_2d(raw["parityMatrix"])
-        stem = pathlib.Path(path).stem
-        try:
-            z = int(stem.split("_")[0])
-        except ValueError:
-            z = int(np.gcd(h.shape[0], h.shape[1]))
+        if "circulantSize" in payload:
+            z = int(payload["circulantSize"])
+        else:
+            stem = pathlib.Path(path).stem
+            try:
+                z = int(stem.split("_")[0])
+            except ValueError:
+                z = _infer_circulant_size(h)
         code = QCCode.from_dense(h, z=z,
                                  name=str(payload.get("fileName", ""))[:16])
         return code, payload

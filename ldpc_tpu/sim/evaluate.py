@@ -561,18 +561,25 @@ def evaluate_code(code: QCCode,
 
 def evaluate_epsilon_probe(code: QCCode, epsilon: float = 1e-2,
                            flips: Sequence[int] = (0,),
-                           max_iters: int = 50, **decoder_kw):
+                           max_iters: int = 50, return_time: bool = False,
+                           **decoder_kw):
     """Deterministic single-vector probe (ldpcCUDA.py:677-828 equivalent).
 
     Decodes ``modulate(zeros) + epsilon`` with the given hard sign flips;
     no PRNG involved.  Returns (errors_uncoded, errors_decoded,
-    iterations, success) — the reference returns the same four numbers
-    plus wall time.
+    iterations, success), plus the decode wall time in seconds when
+    ``return_time=True`` — matching the reference's five return values
+    (berUncoded, berDecoded, iterations, time; ldpcCUDA.py:826-828).
     """
     probe = epsilon_probe(code.n, flips=flips, epsilon=epsilon)
-    res = decoder_for_code(code, max_iters, **decoder_kw)(probe)
+    dec = decoder_for_code(code, max_iters, **decoder_kw)
+    t0 = time.time()
+    res = dec(probe)
+    hard = np.asarray(res.hard)  # device_get: the completion barrier
+    wall = time.time() - t0
     errors_uncoded = int(np.asarray(probe > 0).sum())
-    return (errors_uncoded,
-            int(np.asarray(res.hard).sum()),
-            int(res.iterations[0]),
-            bool(res.success[0]))
+    out = (errors_uncoded,
+           int(hard.sum()),
+           int(res.iterations[0]),
+           bool(res.success[0]))
+    return out + (wall,) if return_time else out

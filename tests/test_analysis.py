@@ -104,3 +104,22 @@ def test_code_instance_mat_roundtrip(tmp_path):
     assert "parityMatrix" in raw and "fileName" in raw
     assert np.array_equal(np.atleast_2d(raw["parityMatrix"]),
                           code.to_dense())
+
+
+def test_mat_load_infers_z_without_hints(tmp_path):
+    """A reference-produced .mat has only a dense parityMatrix and an
+    opaque SHA filename — no z anywhere.  Loading must recover z by the
+    block-circulant divisor search (gcd alone is wrong: wifi rate-1/2
+    gcd(972, 1944) = 972 vs z = 81; advisor r2 finding)."""
+    import numpy as np
+    import scipy.io
+
+    from ldpc_tpu.codes import load_code_instance, wifi_code
+
+    code = wifi_code(rate=0.5)
+    path = tmp_path / "deadbeefcafe.mat"   # no z in the stem
+    scipy.io.savemat(path, {"parityMatrix": code.to_dense(),
+                            "fileName": "deadbeefcafe"})
+    loaded, _ = load_code_instance(path)
+    assert loaded.z == code.z == 81
+    assert np.array_equal(loaded.to_dense(), code.to_dense())

@@ -88,6 +88,12 @@ def test_evaluate_epsilon_probe_near_earth():
     unc, dec, iters, ok = evaluate_epsilon_probe(code, epsilon=1e-2,
                                                  flips=(0,), max_iters=20)
     assert unc == 1 and dec == 0 and ok and iters <= 3
+    # return_time=True appends the decode wall time, matching the
+    # reference's 4-tuple + time (ldpcCUDA.py:826-828)
+    unc2, dec2, iters2, ok2, wall = evaluate_epsilon_probe(
+        code, epsilon=1e-2, flips=(0,), max_iters=20, return_time=True)
+    assert (unc2, dec2, iters2, ok2) == (unc, dec, iters, ok)
+    assert wall > 0.0
 
 
 def test_evaluate_code_waterfall_wifi():
