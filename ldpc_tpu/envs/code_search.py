@@ -69,7 +69,7 @@ class LdpcCodeSearchEnv:
                  seed: int = 7134066,
                  replacement_only: bool = False,
                  time_budget_s: float = DEFAULT_TIME_BUDGET_S,
-                 iteration_budget: int | None = None,
+                 iteration_budget: int | str | None = "auto",
                  dmax_cn_cap: int = 48,
                  dmax_vn_cap: int = 18,
                  decoder_kind: str = "min-sum",
@@ -92,6 +92,16 @@ class LdpcCodeSearchEnv:
         self.num_transmissions = int(num_transmissions)
         self.num_iterations = int(num_iterations)
         self.time_budget_s = float(time_budget_s)
+        # The PRIMARY episode terminator is the decode-iteration budget:
+        # unlike the reference's wall-clock budget (ldpc_env.py:25,260-262,
+        # kept as a secondary circuit breaker via time_budget_s), iteration
+        # counts are deterministic, so episode lengths reproduce across
+        # backends, batching modes and hardware.  "auto" re-expresses the
+        # reference's 64*numTransmissions-second constant in iterations:
+        # one unit of their budget ~ one full-budget transmission decode.
+        if iteration_budget == "auto":
+            iteration_budget = (64 * self.num_transmissions
+                                * self.num_iterations)
         self.iteration_budget = iteration_budget
         self.reward_for_illegal_action = BAD_CANDIDATE_REWARD
         self.dmax_cn_cap = int(dmax_cn_cap)

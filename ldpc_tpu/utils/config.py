@@ -43,7 +43,8 @@ class EnvConfig:
     snr_points: tuple = (3.0, 3.2, 3.4)  # ldpc_env.py:88
     num_transmissions: int = 10          # ldpc_env.py:22
     num_iterations: int = 50
-    time_budget_s: float = 640.0         # ldpc_env.py:25
+    time_budget_s: float = 640.0         # ldpc_env.py:25 (secondary guard)
+    iteration_budget: int | str | None = "auto"  # primary, reproducible
     dmax_cn_cap: int = 48
     dmax_vn_cap: int = 18
 

@@ -193,6 +193,46 @@ def test_environment_vector_mesh_sharded_matches_sequential():
         assert es.accumulated_iterations == eb.accumulated_iterations
 
 
+def test_env_iteration_budget_is_default_terminator():
+    env = small_env()
+    assert env.iteration_budget == 64 * env.num_transmissions * \
+        env.num_iterations
+    env2 = small_env(iteration_budget=None)
+    assert env2.iteration_budget is None
+
+
+def test_vector_budget_termination_identical_fused_vs_sequential():
+    """VERDICT r2 #6: under iteration budgeting (the reproducible default)
+    fused and sequential stepping must produce IDENTICAL done flags —
+    wall-clock budgets cannot guarantee that across dispatch modes."""
+    def fns(budget):
+        return [(lambda s=s: small_env(seed=s, iteration_budget=budget))
+                for s in (1, 2)]
+
+    # tiny budget: done should trip after a small number of steps, at the
+    # same step index in both modes
+    budget = 40
+    seq = EnvironmentVector(fns(budget), batched=False)
+    bat = EnvironmentVector(fns(budget), batched=True)
+    seq.reset(), bat.reset()
+    xb, yb = seq.envs[0].x_bits, seq.envs[0].y_bits
+    done_steps_seq, done_steps_bat = [], []
+    for t in range(6):
+        actions = []
+        for k in range(2):
+            a = np.zeros(seq.action_space.shape[0], np.int32)
+            a[xb + yb + 3 + k + t] = 1
+            actions.append(a)
+        _, _, d_seq, _ = seq.step(actions)
+        _, _, d_bat, _ = bat.step(actions)
+        assert list(d_seq) == list(d_bat)
+        done_steps_seq.append(list(d_seq))
+    assert any(any(d) for d in done_steps_seq), \
+        "budget never tripped — test budget too large"
+    for es, eb in zip(seq.envs, bat.envs):
+        assert es.accumulated_iterations == eb.accumulated_iterations
+
+
 def test_environment_vector_batched_rejects_mixed():
     with pytest.raises(ValueError):
         EnvironmentVector(
