@@ -17,6 +17,7 @@ from .codec import compress, observation_bytes, uncompress
 from .perturb import zero_circulant, zeroed_circulant_suite, write_suite
 from .encode import (encode, encoder_for_code, make_encoder,
                      parity_part_from_h)
+from .synthetic import synthetic_qc_code
 
 __all__ = [
     "QCCode", "edges_by_block_col", "edges_by_block_row",
@@ -32,4 +33,5 @@ __all__ = [
     "compress", "uncompress", "observation_bytes",
     "zero_circulant", "zeroed_circulant_suite", "write_suite",
     "encode", "encoder_for_code", "make_encoder", "parity_part_from_h",
+    "synthetic_qc_code",
 ]

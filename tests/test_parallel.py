@@ -165,6 +165,31 @@ def test_row_sharded_decoder_exact_integer_llrs():
     assert np.array_equal(np.asarray(ref.success), ok)
 
 
+def test_synthetic_qc_code_and_giant_rowshard():
+    """Giant-code path (VERDICT r2 #7): a synthetic regular QC code with a
+    multi-thousand z decodes bit-exactly through the row-sharded engine
+    (integer LLRs make f32 partial sums exact)."""
+    from jax.sharding import Mesh
+
+    from ldpc_tpu.codes import synthetic_qc_code
+    from ldpc_tpu.ops.decoder import decode
+    from ldpc_tpu.parallel.rowshard import make_row_sharded_decoder
+
+    code = synthetic_qc_code(2048, 8, 24, seed=1)
+    assert code.n == 24 * 2048 and set(code.col_degrees()) == {3}
+    assert code == synthetic_qc_code(2048, 8, 24, seed=1)  # deterministic
+    mesh = Mesh(np.asarray(jax.devices()), ("row",))
+    dec = make_row_sharded_decoder(code, mesh, max_iters=6)
+    rng = np.random.default_rng(2)
+    llr = rng.integers(-5, 6, size=(2, code.n)).astype(np.float32)
+    llr[llr == 0] = -1.0
+    errors, iters, ok = map(np.asarray, jax.device_get(dec(jnp.asarray(llr))))
+    ref = decode(code, jnp.asarray(llr), max_iters=6)
+    assert np.array_equal(np.asarray(ref.hard).sum(axis=1), errors)
+    assert np.array_equal(np.asarray(ref.iterations), iters)
+    assert np.array_equal(np.asarray(ref.success), ok)
+
+
 def test_row_sharded_decoder_2d_mesh_awgn():
     """(data x row) 2-D mesh: batch sharded over data, check rows over
     row.  AWGN floats: converged words agree exactly with the unsharded
