@@ -1,0 +1,76 @@
+#!/bin/bash
+# Round-3 TPU session: run the on-chip work queue in wedge-risk order
+# (familiar compiles first, novel ones last) with per-step timeouts and a
+# tunnel probe before each step, so a mid-session wedge still leaves the
+# earlier artifacts on disk.  Every artifact is committed by the session
+# driver as soon as the step finishes (git add in the step wrapper).
+#
+#   bash scripts/chip_session_r3.sh [start_step]
+set -u
+cd /root/repo
+LOG=docs/chip_session_r3.log
+START=${1:-0}
+touch "$LOG"
+
+wait_tunnel() {
+  for i in 1 2 3; do
+    if timeout 60 python -c "import jax, jax.numpy as jnp; jax.device_get(jnp.ones((8,128)).sum())" >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "    (tunnel probe $i failed $(date -u +%H:%M:%S))" | tee -a "$LOG"
+    sleep 120
+  done
+  return 1
+}
+
+N=0
+step() {
+  local name="$1" tmo="$2"; shift 2
+  N=$((N+1))
+  if [ "$N" -le "$START" ]; then return 0; fi
+  if ! wait_tunnel; then
+    echo "=== $name SKIPPED: tunnel dead ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+    return 0
+  fi
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "--- $name exit=$rc ($(date -u +%H:%M:%S)) ---" | tee -a "$LOG"
+  return 0
+}
+
+# 0. probe
+step probe 60 python -c "import jax, jax.numpy as jnp; print(float(jax.device_get(jnp.sum(jnp.ones((8,128))))))"
+
+# 1. the headline bench FIRST (the round's one must-have artifact; the
+#    supervisor inside bench.py adds its own probe/retry)
+step bench 2400 python bench.py
+
+# 2. regenerate the BER-parity artifact with the kernel-hash stamp
+#    (bench.py warns on the stale pre-r3 artifact until this runs)
+step ber_parity 2400 python scripts/ber_parity.py --words 16384
+
+# 3. deep error-floor sweep (identical kernel shapes to bench — cheap)
+step error_floor 1800 python scripts/error_floor.py
+
+# 4. staging cascade grid re-tune (known kernel, new budgets)
+step staging_grid 2400 python scripts/staging_grid.py --trials 3
+
+# 5. int8 message-memory study (novel int8 kernel compile)
+step quantized_ber 1800 python scripts/quantized_ber.py
+
+# 6. wifi sum-product pallas waterfall on chip (novel but small kernels)
+step wifi_pallas 1800 python scripts/wifi_waterfall.py --engine pallas --words 8192
+
+# 7. giant-code single-chip HBM path (novel shapes, XLA engine only)
+step giant_code 1800 python scripts/giant_code.py --layouts 1x1 --z-list 4096,16384 --crosscheck-z 0 --out /root/repo/docs/giant_code_chip.json
+
+# 8. wide-window RL search (long; uses only bench-familiar decode shapes)
+step rl_search_wide 5400 python scripts/rl_search_wide.py
+
+# 9. scheduling A/B (novel barrier kernels, biggest wedge risk — LAST):
+#    dep_stride x tile_b cartesian; tile 256 may be rejected at compile
+#    time by the scoped-VMEM ceiling (safe).
+step sched_ab 3300 python scripts/sched_ab.py --strides 0,4 --tile-bs 128,256 --trials 3
+
+echo "ALL DONE $(date -u)" | tee -a "$LOG"
