@@ -105,11 +105,20 @@ _SCHED_BUDGET_KIB = int(__import__("os").environ.get(
 # until a measured win on hardware).
 _DEP_STRIDE = int(__import__("os").environ.get(
     "LDPC_TPU_PALLAS_DEP_STRIDE", 0))
+# Sign-product storage (ROADMAP "parked kernel micro-opt"): the per-check
+# sign product is the popcount parity of the packed edge-sign bits, so the
+# dedicated sp plane and its per-edge fold are redundant — popcount mode
+# derives it with a 5-op xor-shift fold per row instead (bit-identical
+# trajectories; drops one [Mb, zp, tile_b] VMEM plane + one select per
+# edge in phase A).  Opt-in until measured on hardware.
+_POPCOUNT_SIGN = bool(int(__import__("os").environ.get(
+    "LDPC_TPU_PALLAS_POPCOUNT_SIGN", 0)))
 
 
 def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                   store_dtype, schedule: str, kind: str, alpha: float,
-                  beta: float, interpret: bool, dep_stride: int = 0):
+                  beta: float, interpret: bool, dep_stride: int = 0,
+                  popcount_sign: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -194,6 +203,10 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             (chan, totals, s_ref, sp_ref, bits_ref, phi_ref,
              errors_ref, iters_ref, success_ref, dma_sem) = refs
             m1_ref = m2_ref = am_ref = None
+        elif popcount_sign:
+            (chan, totals, m1_ref, m2_ref, am_ref, bits_ref,
+             errors_ref, iters_ref, success_ref, dma_sem) = refs
+            sp_ref = s_ref = phi_ref = None
         else:
             (chan, totals, m1_ref, m2_ref, am_ref, sp_ref, bits_ref,
              errors_ref, iters_ref, success_ref, dma_sem) = refs
@@ -226,7 +239,8 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
         for nb in range(nb_n):
             totals[nb] = -chan[nb]   # exact for quant too: clip symmetric
         for mb in range(mb_n):
-            sp_ref[mb] = _st(jnp.ones((zp, tile_b), f32))
+            if sp_ref is not None:
+                sp_ref[mb] = _st(jnp.ones((zp, tile_b), f32))
             bits_ref[mb] = jnp.zeros((zp, tile_b), i32)
             if sum_product:
                 # S = _PHI_MAX with phi stash 0 reconstructs c2v == 0.0
@@ -262,6 +276,18 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             elif kind == "offset-min-sum":
                 mag = jnp.maximum(mag - f32(beta), 0.0)
             return sgn * mag
+
+        def _sign_from_bits(bits):
+            """Sign product (+-1) as popcount parity of the packed edge
+            signs: one 5-op xor-shift fold per row replaces the stored sp
+            plane and its per-edge fold.  Arithmetic right shifts are fine
+            — only bits below each fold width survive to bit 0."""
+            x = bits ^ (bits >> 16)
+            x = x ^ (x >> 8)
+            x = x ^ (x >> 4)
+            x = x ^ (x >> 2)
+            x = x ^ (x >> 1)
+            return 1.0 - 2.0 * (x & 1).astype(f32)
 
         def _phi(x):
             """phi(x) = -log(tanh(x/2)) on a pre-clipped argument — the
@@ -349,19 +375,26 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 neg = v < 0
                 bitsn = bitsn | jnp.where(
                     neg, i32(np.int32(np.uint32(1 << d))), 0)
-                spn = jnp.where(neg, -spn, spn)
+                if not popcount_sign:
+                    spn = jnp.where(neg, -spn, spn)
+            if popcount_sign:
+                spn = _sign_from_bits(bitsn)
             return par, (m1n, m2n, amn, spn, bitsn)
 
         def _read_stats(mb):
+            bits = bits_ref[mb]
+            sp = (_sign_from_bits(bits) if popcount_sign
+                  else _ld(sp_ref[mb]))
             return (_ld(m1_ref[mb]), _ld(m2_ref[mb]), _ld_raw(am_ref[mb]),
-                    _ld(sp_ref[mb]), bits_ref[mb])
+                    sp, bits)
 
         def _write_stats(mb, stats):
             m1n, m2n, amn, spn, bitsn = stats
             m1_ref[mb] = _st(m1n)
             m2_ref[mb] = _st(m2n)
             am_ref[mb] = _st_raw(amn)   # an index 0..31, never scaled
-            sp_ref[mb] = _st(spn)
+            if not popcount_sign:
+                sp_ref[mb] = _st(spn)
             bits_ref[mb] = bitsn
 
         def _latches(it, bad):
@@ -520,7 +553,9 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                     pltpu.VMEM((mb_n, zp, tile_b), sd),    # m1
                     pltpu.VMEM((mb_n, zp, tile_b), sd),    # m2
                     pltpu.VMEM((mb_n, zp, tile_b), sd),    # argmin
+                ] + ([] if popcount_sign else [
                     pltpu.VMEM((mb_n, zp, tile_b), sd),    # sign product
+                ]) + [
                     pltpu.VMEM((mb_n, zp, tile_b), i32),   # edge sign bits
                 ]) + [
                     pltpu.VMEM((1, tile_b), i32),          # errors latch
@@ -548,7 +583,8 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
                               beta: float = 0.15,
                               interpret: bool = False,
                               jit: bool = True,
-                              dep_stride: int | None = None):
+                              dep_stride: int | None = None,
+                              popcount_sign: bool | None = None):
     """Build the unrolled fused sweep decoder for a code.
 
     Returns ``decode_counts(llr[B, n]) -> (errors[B], iterations[B],
@@ -596,6 +632,13 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     on the fold/accumulator state, capping the scheduler's in-flight
     rotation window (values and trajectories are bit-identical; purely a
     VMEM-scheduling lever).
+
+    ``popcount_sign`` (default: ``LDPC_TPU_PALLAS_POPCOUNT_SIGN`` env var,
+    off) derives each check's sign product from the packed edge-sign bits
+    by a 5-op xor-shift parity fold instead of storing it — drops one
+    [Mb, zp, tile_b] VMEM plane and one select per edge in phase A;
+    trajectories are bit-identical (min-sum family only; sum-product keeps
+    its stored sign).
     """
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule: {schedule}")
@@ -612,15 +655,17 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     a = float(alpha) if kind == "normalized-min-sum" else 0.0
     b_off = float(beta) if kind == "offset-min-sum" else 0.0
     ds = _DEP_STRIDE if dep_stride is None else int(dep_stride)
+    ps = (_POPCOUNT_SIGN if popcount_sign is None
+          else bool(popcount_sign)) and kind != "sum-product"
     plan = DecodePlan.from_code(code)
     key = (plan.cache_key(), max_iters, tile_b,
            jnp.dtype(store_dtype).name, schedule, kind, a, b_off,
-           interpret, jit, ds)
+           interpret, jit, ds, ps)
     if key in _CACHE:
         return _CACHE[key]
     kernel_call = _build_kernel(plan, max_iters, tile_b, store_dtype,
                                 schedule, kind, a, b_off, interpret,
-                                dep_stride=ds)
+                                dep_stride=ds, popcount_sign=ps)
     nb_n, z = plan.block_cols, plan.z
     zp = -(-z // 8) * 8
     sd = jnp.dtype(store_dtype)

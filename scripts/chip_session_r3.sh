@@ -73,4 +73,8 @@ step rl_search_wide 5400 python scripts/rl_search_wide.py
 #    time by the scoped-VMEM ceiling (safe).
 step sched_ab 3300 python scripts/sched_ab.py --strides 0,4 --tile-bs 128,256 --trials 3
 
+# 10. sign-popcount micro-opt A/B (one extra kernel compile on the
+#     familiar tile-128 shape; bit-identical outputs by construction)
+step sched_ab_pop 2400 python scripts/sched_ab.py --strides 0 --tile-bs 128 --popcounts 0,1 --trials 4
+
 echo "ALL DONE $(date -u)" | tee -a "$LOG"

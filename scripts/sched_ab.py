@@ -37,6 +37,11 @@ def main():
                     help="comma list of kernel codeword tiles (lane axis, "
                          "multiples of 128); live set scales with tile, so "
                          "this is a second scheduling lever")
+    ap.add_argument("--popcounts", default="0",
+                    help="comma list of 0/1: derive the CN sign product "
+                         "from the packed edge-sign bits (popcount parity) "
+                         "instead of a stored plane — drops one VMEM plane "
+                         "+ one per-edge select; bit-identical outputs")
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--mi", type=int, default=10)
     ap.add_argument("--snr", type=float, default=3.4)
@@ -50,8 +55,10 @@ def main():
     args = ap.parse_args()
     strides = [int(s) for s in args.strides.split(",")]
     tiles = [int(t) for t in args.tile_bs.split(",")]
-    # variants = cartesian (stride, tile); tile 128 first (familiar compile)
-    variants = [(s, t) for t in tiles for s in strides]
+    pops = [bool(int(p)) for p in args.popcounts.split(",")]
+    # variants = cartesian (stride, tile, popcount); tile 128 / stored-sign
+    # first (familiar compile)
+    variants = [(s, t, p) for p in pops for t in tiles for s in strides]
 
     from ldpc_tpu.codes import near_earth_code, wifi_code
     from ldpc_tpu.ops.pallas_static import make_static_sweep_decoder
@@ -84,25 +91,25 @@ def main():
 
     decs = {}
     for v in variants:
-        s, tb = v
+        s, tb, pc = v
         t0 = time.time()
         try:
             dec = make_static_sweep_decoder(code, max_iters=args.mi,
                                             store_dtype=store, dep_stride=s,
-                                            tile_b=tb,
+                                            tile_b=tb, popcount_sign=pc,
                                             interpret=args.interpret)
             # compile + warm with a distinct input
             noisy, _, _ = transmit_zero_codeword(
-                jax.random.key(1000 + s + 31 * tb), args.batch, code.n,
-                args.snr)
+                jax.random.key(1000 + s + 31 * tb + 997 * pc), args.batch,
+                code.n, args.snr)
             out = jax.device_get(dec(noisy))
         except Exception as e:  # noqa: BLE001 — e.g. a bigger tile's
             # schedule rejected by the scoped-VMEM ceiling (compile-time
             # failure, safe); keep the surviving variants comparable.
-            print(f"stride {s} tile {tb}: SKIPPED "
+            print(f"stride {s} tile {tb} pop {pc:d}: SKIPPED "
                   f"({type(e).__name__}: {str(e)[:160]})", flush=True)
             continue
-        print(f"stride {s} tile {tb}: compiled+warm in "
+        print(f"stride {s} tile {tb} pop {pc:d}: compiled+warm in "
               f"{time.time()-t0:.1f} s, "
               f"nfail={int((~out[2].astype(bool)).sum())}", flush=True)
         decs[v] = dec
@@ -114,24 +121,26 @@ def main():
     # shared-input exactness: every variant must be value-identical on
     # chip (dep_stride is a pure scheduling barrier; tile size only
     # regroups lanes and words are lane-independent — the tile-level
-    # all_done predication skips work only when every lane has latched).
+    # all_done predication skips work only when every lane has latched;
+    # popcount-sign recomputes the same sign product from the same bits).
     shared, _, _ = transmit_zero_codeword(jax.random.key(5), args.batch,
                                           code.n, args.snr)
     ref = jax.device_get(decs[variants[0]](shared))
     for v in variants[1:]:
         out = jax.device_get(decs[v](shared))
         same = all(np.array_equal(a, b) for a, b in zip(ref, out))
-        print(f"stride {v[0]} tile {v[1]} exactness vs {variants[0]}: "
+        print(f"stride {v[0]} tile {v[1]} pop {v[2]:d} exactness vs "
+              f"{variants[0]}: "
               f"{'BIT-IDENTICAL' if same else 'MISMATCH'}", flush=True)
 
     times = {v: [] for v in variants}
     fails = {v: [] for v in variants}
     for t in range(args.trials):
         for v in variants:
-            s, tb = v
+            s, tb, pc = v
             noisy, _, _ = transmit_zero_codeword(
-                jax.random.key(7919 * t + s + 31 * tb + 1), args.batch,
-                code.n, args.snr)
+                jax.random.key(7919 * t + s + 31 * tb + 997 * pc + 1),
+                args.batch, code.n, args.snr)
             noisy = jax.device_put(noisy)
             jax.device_get(noisy)          # stage input before timing
             t0 = time.time()
@@ -139,18 +148,18 @@ def main():
             dt = time.time() - t0
             times[v].append(dt)
             fails[v].append(int((~out[2].astype(bool)).sum()))
-            print(f"trial {t} stride {s} tile {tb}: {dt*1e3:8.1f} ms  "
-                  f"nfail={fails[v][-1]}", flush=True)
+            print(f"trial {t} stride {s} tile {tb} pop {pc:d}: "
+                  f"{dt*1e3:8.1f} ms  nfail={fails[v][-1]}", flush=True)
 
     print("\n== summary (best of trials, B=%d mi=%d %s @%.1f dB) ==" %
           (args.batch, args.mi, args.store, args.snr))
     base = min(times[variants[0]])
     for v in variants:
-        s, tb = v
+        s, tb, pc = v
         b = min(times[v])
         ntile = max(1, args.batch // 128)  # us/tile-iter per 128 words
-        print(f"stride {s:3d} tile {tb:4d}: best {b*1e3:8.1f} ms  "
-              f"({b/args.mi/ntile*1e6:6.1f} us/128w-iter)  "
+        print(f"stride {s:3d} tile {tb:4d} pop {pc:d}: best {b*1e3:8.1f} ms"
+              f"  ({b/args.mi/ntile*1e6:6.1f} us/128w-iter)  "
               f"vs {variants[0]}: {b/base:.3f}x  "
               f"nfail={sorted(set(fails[v]))}")
 

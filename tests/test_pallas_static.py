@@ -112,6 +112,27 @@ def test_layered_schedule_converges_faster(wifi):
     assert ok.all() and e.sum() == 0
 
 
+def test_popcount_sign_mode_bit_identical(wifi):
+    """The sign-popcount micro-opt (ROADMAP parked item): deriving the
+    per-check sign product from the packed edge-sign bits must leave
+    trajectories bit-identical to the stored-plane kernel, in every
+    schedule and storage dtype."""
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(9), 4, wifi.n, 2.2)
+    for schedule in ("flooding", "layered"):
+        for sd in (jnp.bfloat16, jnp.int8):
+            base = make_static_sweep_decoder(
+                wifi, max_iters=10, tile_b=4, store_dtype=sd,
+                schedule=schedule, interpret=True, popcount_sign=False)
+            pop = make_static_sweep_decoder(
+                wifi, max_iters=10, tile_b=4, store_dtype=sd,
+                schedule=schedule, interpret=True, popcount_sign=True)
+            eb, ib, ob = map(np.asarray, base(noisy))
+            ep, ip, op = map(np.asarray, pop(noisy))
+            assert np.array_equal(eb, ep), (schedule, sd)
+            assert np.array_equal(ib, ip), (schedule, sd)
+            assert np.array_equal(ob, op), (schedule, sd)
+
+
 def test_static_kernel_random_qc_codes():
     """Generality: random QC structures (mixed block weights including
     zero blocks, odd z values forcing the mod-z fixup) match the XLA
