@@ -36,6 +36,10 @@ step() {
   timeout "$tmo" "$@" >> "$LOG" 2>&1
   local rc=$?
   echo "--- $name exit=$rc ($(date -u +%H:%M:%S)) ---" | tee -a "$LOG"
+  # Land each step's artifacts immediately: a later wedge (or a round
+  # boundary) must not strand measured chip data (round-2 postmortem).
+  git add docs BENCH_r03.json 2>/dev/null
+  git diff --cached --quiet || git commit -q -m "chip session r3: $name artifacts (exit=$rc)"
   return 0
 }
 
