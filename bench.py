@@ -92,6 +92,13 @@ def supervise():
     child_timeout = int(os.environ.get("LDPC_TPU_BENCH_CHILD_TIMEOUT",
                                        "2100"))
     env = dict(os.environ, LDPC_TPU_BENCH_CHILD="1")
+    # Persistent compile cache: the Pallas kernel compile costs 2-6 min,
+    # so a retried child (or a rerun after a tunnel wedge) should reuse
+    # the first attempt's executables instead of re-paying the riskiest
+    # part of the run.  No-op if the backend can't serialize executables.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".jax_cache"))
     last_err = "tpu-unavailable"
     for attempt in range(1, attempts + 1):
         if not wait_backend():

@@ -8,6 +8,9 @@
 #   bash scripts/chip_session_r3.sh [start_step]
 set -u
 cd /root/repo
+# Reuse compiled executables across steps/retries (kernel compiles are
+# the main wedge trigger; a cache hit skips them entirely).
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}
 LOG=docs/chip_session_r3.log
 START=${1:-0}
 touch "$LOG"
