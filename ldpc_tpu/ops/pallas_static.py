@@ -16,8 +16,8 @@ Mosaic toolchain; history in ROADMAP.md):
   footprint is cut by **compressed check-node state** instead: min-sum
   check->variable messages are fully determined by (min1, min2, argmin,
   sign-product, per-edge signs) per check — the classic hardware-LDPC
-  compression, with per-edge signs bit-packed into one int32 lane per
-  check (degree <= 32).  The loop-based kernel's [S, Z, B] per-edge
+  compression, with per-edge signs bit-packed into int32 lanes per
+  check (ceil(degree/32) words).  The loop-based kernel's [S, Z, B] per-edge
   message stash is never materialised.
 * The Mosaic stack scheduler hoists all unrolled rotations (an extra
   ~12 MB live set).  That still fits: the default 16 MiB scoped-vmem
@@ -185,9 +185,17 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
     for mb, edges in enumerate(row_edges):
         for (nb, s, d) in edges:
             col_edges[nb].append((mb, d, s))
-    if plan.dmax_cn > 32:
+    # Edge signs are bit-packed 32 per int32 plane; high-degree checks
+    # (high-rate codes) simply use ceil(dmax/32) planes per block row.
+    n_sw = -(-plan.dmax_cn // 32)
+    # The argmin plane stores the slot index d as a number in the storage
+    # dtype; it must round-trip exactly or reconstruction silently breaks.
+    am_limit = {"int8": 127, "bfloat16": 256}.get(sd.name, 1 << 24)
+    if plan.dmax_cn > am_limit:
         raise NotImplementedError(
-            f"check degree {plan.dmax_cn} > 32: sign bitmask is int32")
+            f"check degree {plan.dmax_cn} exceeds the exact integer range "
+            f"of the {sd.name} argmin plane ({am_limit}); use a wider "
+            f"store_dtype")
     # Sum-product keeps a per-block-edge phi stash (one [zp, tile_b]
     # plane per edge) instead of the two-min compressed state; edge_ix
     # maps (block row, slot) -> stash plane.
@@ -236,12 +244,23 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             a = pltpu.roll(x, zp - s, axis=0)
             b = pltpu.roll(x, z - s, axis=0)
             return jnp.where(i_row < z - s, a, b)
+        def _bits_read(mb):
+            """The packed edge-sign planes of block row mb (n_sw words)."""
+            return tuple(bits_ref[mb * n_sw + w] for w in range(n_sw))
+
+        def _bits_write(mb, words):
+            for w in range(n_sw):
+                bits_ref[mb * n_sw + w] = words[w]
+
+        def _bit_of(words, d):
+            return (words[d // 32] >> (d % 32)) & 1
+
         for nb in range(nb_n):
             totals[nb] = -chan[nb]   # exact for quant too: clip symmetric
         for mb in range(mb_n):
             if sp_ref is not None:
                 sp_ref[mb] = _st(jnp.ones((zp, tile_b), f32))
-            bits_ref[mb] = jnp.zeros((zp, tile_b), i32)
+            _bits_write(mb, (jnp.zeros((zp, tile_b), i32),) * n_sw)
             if sum_product:
                 # S = _PHI_MAX with phi stash 0 reconstructs c2v == 0.0
                 # exactly on the first iteration (see _PHI_MAX note).
@@ -268,7 +287,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             messages) — the compressed state stays the raw two-min.
             """
             m1, m2, am, sp, bits = stats
-            bit = (bits >> d) & 1
+            bit = _bit_of(bits, d)
             sgn = sp * (1.0 - 2.0 * bit.astype(f32))
             mag = jnp.where(am == f32(d), m2, m1)
             if kind == "normalized-min-sum":
@@ -282,7 +301,10 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             signs: one 5-op xor-shift fold per row replaces the stored sp
             plane and its per-edge fold.  Arithmetic right shifts are fine
             — only bits below each fold width survive to bit 0."""
-            x = bits ^ (bits >> 16)
+            x = bits[0]
+            for w in range(1, n_sw):
+                x = x ^ bits[w]
+            x = x ^ (x >> 16)
             x = x ^ (x >> 8)
             x = x ^ (x >> 4)
             x = x ^ (x >> 2)
@@ -297,7 +319,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
 
         def _recon_sp(s_tot, sp, bits, phi_d, d):
             """c2v message of edge d from the phi total + its own phi."""
-            bit = (bits >> d) & 1
+            bit = _bit_of(bits, d)
             sgn = sp * (1.0 - 2.0 * bit.astype(f32))
             rest = jnp.clip(s_tot - phi_d, f32(_PHI_MIN), f32(_PHI_MAX))
             return sgn * _phi(rest)
@@ -309,11 +331,11 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             edge before being written, so no double buffer)."""
             s_old = _ld(s_ref[mb])
             sp_old = _ld(sp_ref[mb])
-            bits_old = bits_ref[mb]
+            bits_old = _bits_read(mb)
             par = jnp.zeros((zp, tile_b), i32)
             s_new = jnp.zeros((zp, tile_b), f32)
             spn = jnp.ones((zp, tile_b), f32)
-            bitsn = jnp.zeros((zp, tile_b), i32)
+            bitsn = [jnp.zeros((zp, tile_b), i32) for _ in range(n_sw)]
             last_nb, tot_nb = None, None
             for ei, (nb, s, d) in enumerate(row_edges[mb]):
                 if nb != last_nb:
@@ -332,12 +354,13 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 phi_ref[e] = _st(ph)
                 s_new = s_new + ph
                 neg = v < 0
-                bitsn = bitsn | jnp.where(
-                    neg, i32(np.int32(np.uint32(1 << d))), 0)
+                w, r = divmod(d, 32)
+                bitsn[w] = bitsn[w] | jnp.where(
+                    neg, i32(np.int32(np.uint32(1 << r))), 0)
                 spn = jnp.where(neg, -spn, spn)
             s_ref[mb] = _st(s_new)
             sp_ref[mb] = _st(spn)
-            bits_ref[mb] = bitsn
+            _bits_write(mb, bitsn)
             return par
 
         def _row_stats(mb, olds):
@@ -351,7 +374,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             m2n = jnp.full((zp, tile_b), f32(_BIG))
             amn = jnp.zeros((zp, tile_b), f32)
             spn = jnp.ones((zp, tile_b), f32)
-            bitsn = jnp.zeros((zp, tile_b), i32)
+            bitsn = [jnp.zeros((zp, tile_b), i32) for _ in range(n_sw)]
             last_nb, tot_nb = None, None
             for ei, (nb, s, d) in enumerate(row_edges[mb]):
                 if nb != last_nb:
@@ -373,16 +396,18 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 amn = jnp.where(newmin, f32(d), amn)
                 m1n = jnp.minimum(m1n, a)
                 neg = v < 0
-                bitsn = bitsn | jnp.where(
-                    neg, i32(np.int32(np.uint32(1 << d))), 0)
+                w, r = divmod(d, 32)
+                bitsn[w] = bitsn[w] | jnp.where(
+                    neg, i32(np.int32(np.uint32(1 << r))), 0)
                 if not popcount_sign:
                     spn = jnp.where(neg, -spn, spn)
+            bitsn = tuple(bitsn)
             if popcount_sign:
                 spn = _sign_from_bits(bitsn)
             return par, (m1n, m2n, amn, spn, bitsn)
 
         def _read_stats(mb):
-            bits = bits_ref[mb]
+            bits = _bits_read(mb)
             sp = (_sign_from_bits(bits) if popcount_sign
                   else _ld(sp_ref[mb]))
             return (_ld(m1_ref[mb]), _ld(m2_ref[mb]), _ld_raw(am_ref[mb]),
@@ -392,10 +417,10 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             m1n, m2n, amn, spn, bitsn = stats
             m1_ref[mb] = _st(m1n)
             m2_ref[mb] = _st(m2n)
-            am_ref[mb] = _st_raw(amn)   # an index 0..31, never scaled
+            am_ref[mb] = _st_raw(amn)   # a slot index, never scaled
             if not popcount_sign:
                 sp_ref[mb] = _st(spn)
-            bits_ref[mb] = bitsn
+            _bits_write(mb, bitsn)
 
         def _latches(it, bad):
             """Check-BEFORE-update convergence latching (ldpc.py:326-337
@@ -447,7 +472,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 # per-edge-load formulation in every storage dtype.
                 if sum_product:
                     all_sp = [(_ld(s_ref[mb]), _ld(sp_ref[mb]),
-                               bits_ref[mb]) for mb in range(mb_n)]
+                               _bits_read(mb)) for mb in range(mb_n)]
                 else:
                     all_stats = [_read_stats(mb) for mb in range(mb_n)]
                 ei = 0
@@ -547,7 +572,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 ] + ([
                     pltpu.VMEM((mb_n, zp, tile_b), sd),    # phi total S
                     pltpu.VMEM((mb_n, zp, tile_b), sd),    # sign product
-                    pltpu.VMEM((mb_n, zp, tile_b), i32),   # edge sign bits
+                    pltpu.VMEM((mb_n * n_sw, zp, tile_b), i32),  # sign bits
                     pltpu.VMEM((n_edges, zp, tile_b), sd),  # phi stash
                 ] if sum_product else [
                     pltpu.VMEM((mb_n, zp, tile_b), sd),    # m1
@@ -556,7 +581,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 ] + ([] if popcount_sign else [
                     pltpu.VMEM((mb_n, zp, tile_b), sd),    # sign product
                 ]) + [
-                    pltpu.VMEM((mb_n, zp, tile_b), i32),   # edge sign bits
+                    pltpu.VMEM((mb_n * n_sw, zp, tile_b), i32),  # sign bits
                 ]) + [
                     pltpu.VMEM((1, tile_b), i32),          # errors latch
                     pltpu.VMEM((1, tile_b), i32),          # iters latch

@@ -359,11 +359,14 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
     alpha = float(kw.pop("alpha", 0.75))
     beta = float(kw.pop("beta", 0.15))
     tile_b = kw.pop("tile_b", None)
+    # scheduling levers (None defers to the kernel's env-var defaults)
+    dep_stride = kw.pop("dep_stride", None)
+    popcount_sign = kw.pop("popcount_sign", None)
     if kw:
         raise ValueError(
             f"unsupported pallas engine options: {sorted(kw)}")
     key = ("pallas", code, max_iters, store.name, schedule,
-           kind, alpha, beta, tile_b, nested)
+           kind, alpha, beta, tile_b, dep_stride, popcount_sign, nested)
     fn = _COUNTS_CACHE.get(key)
     if fn is None:
         from ..ops.pallas_static import make_static_sweep_decoder
@@ -376,6 +379,8 @@ def _engine_counts_fn(code: QCCode, max_iters: int, kind: str,
                                         schedule=schedule, kind=kind,
                                         alpha=alpha, beta=beta,
                                         interpret=interp,
+                                        dep_stride=dep_stride,
+                                        popcount_sign=popcount_sign,
                                         jit=not nested)
 
         def fn(llr):

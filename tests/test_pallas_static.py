@@ -166,6 +166,36 @@ def test_static_kernel_random_qc_codes():
         assert np.array_equal(np.asarray(ref.success), np.asarray(ok))
 
 
+def test_static_kernel_high_degree_checks():
+    """Check degree > 32 (high-rate codes): the packed edge-sign state
+    spills into a second int32 word per check; trajectories still match
+    the XLA decoder exactly, with and without the popcount-sign fold."""
+    from ldpc_tpu.codes.qc import QCCode
+
+    rng = np.random.default_rng(11)
+    z, mb, nb = 9, 1, 20
+    # 2-3 shifts per block -> check degree ~40-50 (> 32, < 64)
+    shifts = [tuple(
+        tuple(sorted(rng.choice(z, size=int(rng.integers(2, 4)),
+                                replace=False).tolist()))
+        for _ in range(nb))]
+    code = QCCode(z=z, shifts=tuple(shifts), name="highdeg")
+    from ldpc_tpu.ops.plan import DecodePlan
+    assert DecodePlan.from_code(code).dmax_cn > 32
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(2), 4, code.n, 3.0)
+    ref = decode(code, noisy, max_iters=8)
+    for pc in (False, True):
+        dec = make_static_sweep_decoder(code, max_iters=8, tile_b=4,
+                                        store_dtype=jnp.float32,
+                                        interpret=True, popcount_sign=pc)
+        e, it, ok = dec(noisy)
+        assert np.array_equal(np.asarray(ref.hard).sum(axis=1),
+                              np.asarray(e)), pc
+        assert np.array_equal(np.asarray(ref.iterations),
+                              np.asarray(it)), pc
+        assert np.array_equal(np.asarray(ref.success), np.asarray(ok)), pc
+
+
 @pytest.mark.parametrize("kind", ["normalized-min-sum", "offset-min-sum"])
 @pytest.mark.slow
 def test_static_kernel_minsum_variants_match_xla(wifi, kind):
