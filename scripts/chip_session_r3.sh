@@ -66,6 +66,25 @@ step staging_grid 2400 python scripts/staging_grid.py --trials 3
 # 5. int8 message-memory study (novel int8 kernel compile)
 step quantized_ber 1800 python scripts/quantized_ber.py
 
+# 5b. layered-vs-flooding schedule A/B under the full bench protocol
+#     (the biggest unmeasured lever: ~2x fewer sweeps to converge; the
+#     layered near-earth compile is novel but structurally the same
+#     size/live-set as the flooding kernel)
+step layered_ab 3300 python scripts/layered_ab.py
+
+# 5c. if the A/B recommends layered (faster AND BER-parity at every
+#     point), re-run the headline bench so the adopted configuration has
+#     a fresh committed number before the driver's round-end capture
+step bench_tuned 2400 bash -c '
+  python - <<PY
+import json, sys
+try:
+    sys.exit(0 if json.load(open("docs/layered_ab.json")).get("adopt") else 1)
+except Exception:
+    sys.exit(1)
+PY
+  [ $? -eq 0 ] && exec python bench.py || echo "no adoption; skipping re-bench"'
+
 # 6. wifi sum-product pallas waterfall on chip (novel but small kernels)
 step wifi_pallas 1800 python scripts/wifi_waterfall.py --engine pallas --words 8192
 

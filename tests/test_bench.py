@@ -42,6 +42,47 @@ def test_bench_dead_backend_emits_error_json():
     assert line["value"] == 0.0
 
 
+def test_bench_adopts_fresh_schedule_ab_artifact(tmp_path, monkeypatch):
+    """resolve_cascade picks up a layered recommendation only when the
+    artifact is fresh (kernel hash matches) and no env override exists."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+
+    for k in list(os.environ):
+        if k.startswith("LDPC_TPU_BENCH"):
+            monkeypatch.delenv(k, raising=False)
+    art = tmp_path / "layered_ab.json"
+    payload = {"adopt": True, "kernel_hash": kernel_source_hash(),
+               "recommended": {"schedule": "layered", "phases": [6],
+                               "caps_16ths": [3]}}
+    art.write_text(json.dumps(payload))
+    monkeypatch.setenv("LDPC_TPU_BENCH_AB_PATH", str(art))
+
+    sched, phases, caps = bench.resolve_cascade("pallas", 32768)
+    assert (sched, phases, caps) == ("layered", [6], [32768 * 3 // 16])
+
+    # stale hash -> ignored, flooding defaults
+    payload["kernel_hash"] = "deadbeef"
+    art.write_text(json.dumps(payload))
+    sched, phases, _ = bench.resolve_cascade("pallas", 32768)
+    assert (sched, phases) == ("flooding", [12])
+
+    # env override beats a fresh artifact
+    payload["kernel_hash"] = kernel_source_hash()
+    art.write_text(json.dumps(payload))
+    monkeypatch.setenv("LDPC_TPU_BENCH_SCHEDULE", "flooding")
+    sched, phases, _ = bench.resolve_cascade("pallas", 32768)
+    assert sched == "flooding"
+
+    # the XLA engine never adopts (layered is pallas-only)
+    monkeypatch.delenv("LDPC_TPU_BENCH_SCHEDULE")
+    sched, _, _ = bench.resolve_cascade("xla", 32768)
+    assert sched == "flooding"
+
+
 def test_bench_cpu_smoke_emits_metric_json():
     # Tiny batch, single trial, XLA engine: the full supervisor->child
     # pipeline on the CPU backend.  ~1 min.
