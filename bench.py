@@ -190,6 +190,53 @@ def resolve_cascade(engine, batch):
     return schedule, phases, caps
 
 
+def resolve_levers(engine):
+    """Bit-identical kernel scheduling levers for the pallas engine.
+
+    Env overrides win (LDPC_TPU_BENCH_TILE_B, LDPC_TPU_PALLAS_DEP_STRIDE,
+    LDPC_TPU_PALLAS_POPCOUNT_SIGN); otherwise the on-chip scheduling A/B
+    artifact (scripts/sched_ab.py -> docs/sched_ab.json, or the path in
+    LDPC_TPU_BENCH_SCHED_AB_PATH) supplies the fastest variant when it
+    recommends adoption AND was measured against the current kernel
+    sources.  Unlike the schedule (which needs a BER adjudication), these
+    levers are bit-identical by construction — the artifact records the
+    shared-input exactness check.  ``None`` defers to the kernel's
+    env-var defaults (ops/pallas_static.py).
+    """
+    levers = {"tile_b": None, "dep_stride": None, "popcount_sign": None}
+    tile_env = os.environ.get("LDPC_TPU_BENCH_TILE_B")
+    if tile_env:
+        levers["tile_b"] = int(tile_env)
+    env_stride = "LDPC_TPU_PALLAS_DEP_STRIDE" in os.environ
+    env_pop = "LDPC_TPU_PALLAS_POPCOUNT_SIGN" in os.environ
+    ab_path = os.environ.get(
+        "LDPC_TPU_BENCH_SCHED_AB_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "docs", "sched_ab.json"))
+    if engine != "pallas" or not os.path.exists(ab_path):
+        return levers
+    with open(ab_path) as f:
+        ab = json.load(f)
+    if not ab.get("adopt"):
+        return levers
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+    if ab.get("kernel_hash") != kernel_source_hash():
+        print(f"[bench] IGNORING stale {ab_path} (kernel sources changed "
+              "since the A/B; rerun scripts/sched_ab.py)", file=sys.stderr)
+        return levers
+    rec = ab["recommended"]
+    if levers["tile_b"] is None:
+        levers["tile_b"] = int(rec["tile_b"])
+    if not env_stride:
+        levers["dep_stride"] = int(rec["dep_stride"])
+    if not env_pop:
+        levers["popcount_sign"] = bool(rec["popcount_sign"])
+    print(f"[bench] adopting tuned kernel levers from {ab_path}: "
+          f"{levers} (speedup {rec.get('speedup_vs_default')}x in the "
+          "A/B)", file=sys.stderr)
+    return levers
+
+
 def measure():
     import jax
     if os.environ.get("LDPC_TPU_PLATFORM"):
@@ -232,18 +279,18 @@ def measure():
     # adjudication (layered within the flooding run's Monte-Carlo band at
     # every SNR point) that justifies changing the schedule.
     schedule, phases, caps = resolve_cascade(engine, batch)
+    levers = resolve_levers(engine)
 
     def build(eng, dt):
         # Transmit + staged cascade fused into ONE dispatch per batch
         # (the second dispatch through the ~33 ms tunnel and the [B, n]
         # f32 LLR HBM round trip are pure overhead).
-        tile_env = os.environ.get("LDPC_TPU_BENCH_TILE_B")
         step = make_staged_sweep_device(
             code, max_iters, phase1_iters=phases,
             redo_capacity=caps, engine=eng,
             **({"schedule": schedule} if eng == "pallas" else {}),
-            **({"tile_b": int(tile_env)} if eng == "pallas" and tile_env
-               else {}),
+            **({k: v for k, v in levers.items() if v is not None}
+               if eng == "pallas" else {}),
             **({"store_dtype": dt} if eng == "pallas" and dt else
                {"dtype": jnp.dtype(dt)} if dt else {}))
 
@@ -257,16 +304,39 @@ def measure():
         return run
 
     run = build(engine, dtype_env)
-    try:  # compile check; fall back to the XLA engine if the kernel fails
+    try:  # compile check; fall back if the kernel fails
         run(jax.random.fold_in(key, 999),
             jnp.full((batch,), 3.4, jnp.float32))
     except Exception as e:  # noqa: BLE001 — any toolchain failure
-        print(f"[bench] engine {engine} failed ({type(e).__name__}); "
-              f"falling back to xla/f32", file=sys.stderr)
-        engine = "xla"
-        run = build(engine, None)
-        run(jax.random.fold_in(key, 999),
-            jnp.full((batch,), 3.4, jnp.float32))
+        adopted = (engine == "pallas"
+                   and (schedule != "flooding"
+                        or any(v is not None for v in levers.values())))
+        recovered = False
+        if adopted:
+            # an adopted (schedule x levers) combination was never
+            # compiled together by the A/Bs — retry the pallas engine at
+            # pure defaults before surrendering to the XLA engine
+            print(f"[bench] tuned pallas config failed "
+                  f"({type(e).__name__}); retrying pallas defaults",
+                  file=sys.stderr)
+            schedule, phases, caps = "flooding", [12], [
+                max(128, batch * 3 // 16)]
+            levers = {"tile_b": None, "dep_stride": None,
+                      "popcount_sign": None}
+            run = build(engine, dtype_env)
+            try:
+                run(jax.random.fold_in(key, 999),
+                    jnp.full((batch,), 3.4, jnp.float32))
+                recovered = True
+            except Exception as e2:  # noqa: BLE001
+                e = e2
+        if not recovered:
+            print(f"[bench] engine {engine} failed ({type(e).__name__}); "
+                  f"falling back to xla/f32", file=sys.stderr)
+            engine = "xla"
+            run = build(engine, None)
+            run(jax.random.fold_in(key, 999),
+                jnp.full((batch,), 3.4, jnp.float32))
 
     trials = int(os.environ.get("LDPC_TPU_BENCH_TRIALS", "4"))
     detail = {}
@@ -333,6 +403,9 @@ def measure():
         # the schedule change is adjudicated by docs/layered_ab.json
         # (BER within the flooding run's Monte-Carlo band at every point)
         extra["schedule"] = schedule
+    if engine == "pallas" and any(v is not None for v in levers.values()):
+        extra["levers"] = {k: v for k, v in levers.items()
+                           if v is not None}
     emit(round(value, 1), round(value / BASELINE_AT_3P4, 2), extra or None)
 
 

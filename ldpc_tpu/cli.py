@@ -57,20 +57,27 @@ def cmd_evaluate(args):
         phase1_iters=phases,
         store_dtype=(jnp.dtype(args.store_dtype)
                      if args.store_dtype else None),
+        schedule=args.schedule,
         checkpoint_path=args.checkpoint,
         early_abort_ber=args.early_abort_ber,
         verbose=True)
+    if args.tile_b is not None and args.engine != "pallas":
+        raise SystemExit("--tile-b is a pallas-engine scheduling lever; "
+                         "combine it with --engine pallas")
     if args.sharded:
         # the reference wrapper's numberOfCudaDevices path
         # (ldpcCUDA.py:891-932): split the batch over every visible
         # device, merge counters with psum.  Accepts the same staged /
         # dtype / resume knobs as the single-device path.
         from .parallel import evaluate_code_sharded
+        if args.tile_b is not None:
+            common["pallas_tile_b"] = args.tile_b
         stats = evaluate_code_sharded(
             code, args.snr, args.transmissions, args.iterations, **common)
     else:
         stats = evaluate_code(
-            code, args.snr, args.transmissions, args.iterations, **common)
+            code, args.snr, args.transmissions, args.iterations,
+            tile_b=args.tile_b, **common)
     print(json.dumps(stats.summary()))
     if args.plot:
         from .analysis import plot_snr_vs_ber
@@ -206,6 +213,15 @@ def main(argv=None):
     e.add_argument("--kind", default="min-sum")
     e.add_argument("--no-staged", action="store_true")
     e.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    e.add_argument("--schedule", default="flooding",
+                   choices=["flooding", "layered"],
+                   help="pallas-engine message schedule: flooding "
+                        "(reference semantics) or layered (serial-C "
+                        "schedule, ~2x fewer sweeps; requires "
+                        "--engine pallas)")
+    e.add_argument("--tile-b", type=int, default=None,
+                   help="pallas kernel codeword tile (lane axis; "
+                        "scheduling lever, multiple of 128 on hardware)")
     e.add_argument("--store-dtype", default=None,
                    choices=["bfloat16", "float32", "int8"],
                    help="pallas engine VMEM state dtype (int8 = Q4.3 "

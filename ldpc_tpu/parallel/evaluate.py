@@ -41,7 +41,8 @@ def _batch_axes(mesh: Mesh):
 def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
                        kind: str = "min-sum", scale_llr: bool = False,
                        dtype=jnp.float32, engine: str = "xla",
-                       pallas_tile_b: int = 128, **decoder_kw):
+                       pallas_tile_b: int = 128,
+                       schedule: str = "flooding", **decoder_kw):
     """Jitted step with the batch axis sharded over the mesh.
 
     (key, snr_db[B]) -> dict of pre-reduced scalars: frames, bit errors
@@ -61,6 +62,9 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
     data_sh = NamedSharding(mesh, P(batch_axes))
     repl = NamedSharding(mesh, P())
     opts = None
+    if schedule != "flooding" and engine != "pallas":
+        raise ValueError("schedules other than flooding need the pallas "
+                         "engine")
     if engine == "pallas":
         from ..ops.pallas_static import _SCOPED_VMEM_KIB, \
             make_static_sweep_decoder
@@ -79,7 +83,7 @@ def sharded_sweep_step(code: QCCode, mesh: Mesh, max_iters: int = 50, *,
         # scoped-VMEM ceiling for large codes.
         pall = make_static_sweep_decoder(
             code, max_iters, tile_b=pallas_tile_b, kind=kind,
-            interpret=interp, jit=False)
+            schedule=schedule, interpret=interp, jit=False)
         counts_fn = shard_map(
             lambda llr: pall(llr), mesh=mesh,
             in_specs=P(batch_axes, None),
@@ -125,6 +129,7 @@ def sharded_staged_sweep_step(code: QCCode, mesh: Mesh,
                               scale_llr: bool = False,
                               dtype=jnp.float32, store_dtype=None,
                               tile_b: int | None = None,
+                              schedule: str = "flooding",
                               engine: str = "xla"):
     """Mesh-sharded Monte-Carlo step with the staged cascade ON DEVICE.
 
@@ -156,7 +161,8 @@ def sharded_staged_sweep_step(code: QCCode, mesh: Mesh,
     core = _staged_core_builder(
         code, max_iters, phase1_iters=phase1_iters,
         redo_capacity=redo_capacity, kind=kind, dtype=dtype,
-        store_dtype=store_dtype, tile_b=tile_b, engine=engine)
+        store_dtype=store_dtype, tile_b=tile_b, schedule=schedule,
+        engine=engine)
     opts = _pallas_compiler_options(engine)
     cache: dict = {}
 
@@ -213,6 +219,7 @@ def evaluate_code_sharded(code: QCCode,
                           phase1_iters=12,
                           redo_capacity=None,
                           store_dtype=None,
+                          schedule: str = "flooding",
                           early_abort_ber: float | None = None,
                           checkpoint_path=None,
                           stats: BerStatistics | None = None,
@@ -253,13 +260,13 @@ def evaluate_code_sharded(code: QCCode,
         step = sharded_staged_sweep_step(
             code, mesh, max_iters, phase1_iters=phase1_iters,
             redo_capacity=redo_capacity, kind=kind, scale_llr=scale_llr,
-            dtype=dtype, store_dtype=store_dtype,
+            dtype=dtype, store_dtype=store_dtype, schedule=schedule,
             tile_b=(pallas_tile_b if engine == "pallas" else None),
             engine=engine)
     else:
         step = sharded_sweep_step(code, mesh, max_iters, kind=kind,
                                   scale_llr=scale_llr, dtype=dtype,
-                                  engine=engine,
+                                  engine=engine, schedule=schedule,
                                   pallas_tile_b=pallas_tile_b)
     if stats is None:
         import os

@@ -214,7 +214,9 @@ def _staged_core_builder(code: QCCode, max_iters: int, *,
                          redo_capacity=None, kind: str = "min-sum",
                          dtype=jnp.float32, store_dtype=None,
                          schedule: str = "flooding", engine: str = "xla",
-                         tile_b: int | None = None, **decoder_kw):
+                         tile_b: int | None = None,
+                         dep_stride: int | None = None,
+                         popcount_sign: bool | None = None, **decoder_kw):
     """Shared staged-cascade builder: returns ``core(b)`` producing the
     UNJITTED ``fn(llr[b, n]) -> (errors, iterations, success)`` (callers
     jit it, composing extra work into the same dispatch — see
@@ -225,6 +227,10 @@ def _staged_core_builder(code: QCCode, max_iters: int, *,
     if schedule != "flooding" and engine != "pallas":
         raise ValueError("schedules other than flooding need the pallas "
                          "engine")
+    if engine != "pallas" and (dep_stride is not None
+                               or popcount_sign is not None):
+        raise ValueError("dep_stride/popcount_sign are pallas-kernel "
+                         "scheduling levers")
     phases = ([int(phase1_iters)] if isinstance(phase1_iters, int)
               else [int(p) for p in phase1_iters])
     if sorted(phases) != phases or (phases and phases[-1] >= max_iters):
@@ -241,7 +247,13 @@ def _staged_core_builder(code: QCCode, max_iters: int, *,
             ("store_dtype", jnp.dtype(store_dtype).name)
             if store_dtype is not None else None,
             ("schedule", schedule) if schedule != "flooding" else None,
-            ("tile_b", int(tile_b)) if tile_b is not None else None)
+            ("tile_b", int(tile_b)) if tile_b is not None else None,
+            # bit-identical kernel scheduling levers (None defers to the
+            # kernel's env-var defaults, ops/pallas_static.py)
+            ("dep_stride", int(dep_stride))
+            if dep_stride is not None else None,
+            ("popcount_sign", bool(popcount_sign))
+            if popcount_sign is not None else None)
         if kv is not None)
 
     def build(b):
@@ -470,6 +482,8 @@ def evaluate_code(code: QCCode,
                   phase1_iters: int = 12,
                   engine: str = "xla",
                   store_dtype=None,
+                  schedule: str = "flooding",
+                  tile_b: int | None = None,
                   early_abort_ber: float | None = None,
                   stats: BerStatistics | None = None,
                   checkpoint_path=None,
@@ -484,8 +498,11 @@ def evaluate_code(code: QCCode,
     whole gather/re-decode/merge fused into ONE jitted dispatch per batch
     (see :func:`make_staged_sweep_device`) — bit-identical statistics,
     ~3x faster at operating SNRs and round-trip-free through high-latency
-    links.  ``engine="pallas"`` additionally routes the staged decodes
-    through the VMEM-resident kernel (``ops/pallas_static.py``).
+    links.  ``engine="pallas"`` additionally routes the decodes through
+    the VMEM-resident kernel (``ops/pallas_static.py``) whose message
+    ``schedule`` may be ``"flooding"`` (reference semantics) or
+    ``"layered"`` (serial-C production schedule, ~2x fewer sweeps to
+    converge; adjudicated on chip by ``scripts/layered_ab.py``).
 
     ``checkpoint_path``: save the accumulated statistics after every SNR
     point and, on restart, resume by skipping points already completed
@@ -496,14 +513,17 @@ def evaluate_code(code: QCCode,
     (``LDPC_LOCAL_PRNG``, ldpc.py:24) in spirit; statistics agree within
     Monte-Carlo error, not sample-for-sample (different PRNG family).
     """
-    if staged:
-        step = make_staged_sweep_device(
-            code, max_iters, scale_llr=scale_llr,
-            phase1_iters=phase1_iters, kind=kind,
-            dtype=dtype, engine=engine, store_dtype=store_dtype)
-    else:
-        step = sweep_step(code, max_iters, kind=kind, scale_llr=scale_llr,
-                          dtype=dtype)
+    # One builder covers both modes: ``staged=False`` is the empty
+    # cascade (single full-budget pass), so ``engine``/``store_dtype``/
+    # ``schedule`` are honored either way instead of being silently
+    # dropped on the unstaged path.
+    if tile_b is not None and engine != "pallas":
+        raise ValueError("tile_b is a pallas-engine scheduling lever")
+    step = make_staged_sweep_device(
+        code, max_iters, scale_llr=scale_llr,
+        phase1_iters=phase1_iters if staged else [], kind=kind,
+        dtype=dtype, engine=engine, store_dtype=store_dtype,
+        schedule=schedule, tile_b=tile_b)
     if stats is None:
         import os
         if checkpoint_path is not None and os.path.exists(checkpoint_path):

@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke of the whole script flow (interpret-"
                          "mode kernels; timings meaningless)")
+    ap.add_argument("--out", default="/root/repo/docs/sched_ab.json",
+                    help="merging JSON artifact (bench.py adopts its "
+                         "recommendation); empty string disables")
     args = ap.parse_args()
     strides = [int(s) for s in args.strides.split(",")]
     tiles = [int(t) for t in args.tile_bs.split(",")]
@@ -126,9 +129,11 @@ def main():
     shared, _, _ = transmit_zero_codeword(jax.random.key(5), args.batch,
                                           code.n, args.snr)
     ref = jax.device_get(decs[variants[0]](shared))
+    exact = {variants[0]: True}
     for v in variants[1:]:
         out = jax.device_get(decs[v](shared))
         same = all(np.array_equal(a, b) for a, b in zip(ref, out))
+        exact[v] = bool(same)
         print(f"stride {v[0]} tile {v[1]} pop {v[2]:d} exactness vs "
               f"{variants[0]}: "
               f"{'BIT-IDENTICAL' if same else 'MISMATCH'}", flush=True)
@@ -162,6 +167,73 @@ def main():
               f"  ({b/args.mi/ntile*1e6:6.1f} us/128w-iter)  "
               f"vs {variants[0]}: {b/base:.3f}x  "
               f"nfail={sorted(set(fails[v]))}")
+
+    if args.out and not args.interpret:
+        write_artifact(args, variants, times, fails, exact)
+
+
+def write_artifact(args, variants, times, fails, exact):
+    """Merge this run's measurements into the tuning artifact.
+
+    ``bench.py`` adopts the recommendation (fastest bit-identical
+    bfloat16 variant, >=2% over the default levers) when the artifact's
+    kernel hash matches the current sources — the round-end driver bench
+    then runs the tuned configuration without env overrides.  int8
+    entries are recorded for the log but never auto-recommended: the
+    storage dtype changes numerics, so its adoption is adjudicated by
+    the BER study (scripts/quantized_ber.py), not a timing A/B.
+    """
+    import json
+
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+
+    khash = kernel_source_hash()
+    context = {"batch": args.batch, "mi": args.mi, "snr": args.snr,
+               "code": args.code}
+    art = {"context": context, "kernel_hash": khash, "entries": {}}
+    try:
+        with open(args.out) as f:
+            old = json.load(f)
+        if old.get("kernel_hash") == khash and old.get("context") == context:
+            art["entries"] = old.get("entries", {})
+        else:
+            print(f"artifact {args.out}: stale kernel/context, resetting",
+                  flush=True)
+    except (OSError, ValueError):
+        pass
+    for v in variants:
+        s, tb, pc = v
+        key = f"s{s}_t{tb}_p{int(pc)}_{args.store}"
+        b = min(times[v])
+        art["entries"][key] = {
+            "dep_stride": s, "tile_b": tb, "popcount_sign": bool(pc),
+            "store": args.store, "best_ms": round(b * 1e3, 2),
+            "us_per_128w_iter": round(
+                b / args.mi / max(1, args.batch // 128) * 1e6, 2),
+            "exact": exact[v], "trials": args.trials,
+            "nfail": sorted(set(fails[v])),
+        }
+    default_key = "s0_t128_p0_bfloat16"
+    default = art["entries"].get(default_key)
+    cands = [e for e in art["entries"].values()
+             if e["store"] == "bfloat16" and e["exact"]]
+    art["adopt"] = False
+    if default and cands:
+        best = min(cands, key=lambda e: e["best_ms"])
+        speedup = default["best_ms"] / best["best_ms"]
+        art["recommended"] = {
+            "dep_stride": best["dep_stride"], "tile_b": best["tile_b"],
+            "popcount_sign": best["popcount_sign"],
+            "speedup_vs_default": round(speedup, 4),
+        }
+        art["adopt"] = bool(
+            speedup >= 1.02 and (best["dep_stride"], best["tile_b"],
+                                 best["popcount_sign"]) != (0, 128, False))
+    with open(args.out, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(f"wrote {args.out} (adopt={art['adopt']}"
+          + (", recommended=%s" % art["recommended"]
+             if art.get("recommended") else "") + ")", flush=True)
 
 
 if __name__ == "__main__":

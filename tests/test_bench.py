@@ -83,6 +83,88 @@ def test_bench_adopts_fresh_schedule_ab_artifact(tmp_path, monkeypatch):
     assert sched == "flooding"
 
 
+def test_bench_adopts_fresh_sched_ab_levers(tmp_path, monkeypatch):
+    """resolve_levers adopts the fastest bit-identical variant from the
+    sched A/B artifact when fresh; env overrides win; stale is ignored."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench_mod2", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+
+    for k in list(os.environ):
+        if k.startswith(("LDPC_TPU_BENCH", "LDPC_TPU_PALLAS")):
+            monkeypatch.delenv(k, raising=False)
+    art = tmp_path / "sched_ab.json"
+    payload = {"adopt": True, "kernel_hash": kernel_source_hash(),
+               "recommended": {"dep_stride": 4, "tile_b": 256,
+                               "popcount_sign": True,
+                               "speedup_vs_default": 1.25}}
+    art.write_text(json.dumps(payload))
+    monkeypatch.setenv("LDPC_TPU_BENCH_SCHED_AB_PATH", str(art))
+
+    assert bench.resolve_levers("pallas") == {
+        "tile_b": 256, "dep_stride": 4, "popcount_sign": True}
+    # the XLA engine has no kernel levers
+    assert bench.resolve_levers("xla") == {
+        "tile_b": None, "dep_stride": None, "popcount_sign": None}
+    # env overrides beat a fresh artifact, per lever
+    monkeypatch.setenv("LDPC_TPU_BENCH_TILE_B", "128")
+    monkeypatch.setenv("LDPC_TPU_PALLAS_DEP_STRIDE", "0")
+    assert bench.resolve_levers("pallas") == {
+        "tile_b": 128, "dep_stride": None, "popcount_sign": True}
+    monkeypatch.delenv("LDPC_TPU_BENCH_TILE_B")
+    monkeypatch.delenv("LDPC_TPU_PALLAS_DEP_STRIDE")
+    # stale hash -> ignored entirely
+    payload["kernel_hash"] = "deadbeef"
+    art.write_text(json.dumps(payload))
+    assert bench.resolve_levers("pallas") == {
+        "tile_b": None, "dep_stride": None, "popcount_sign": None}
+
+
+def test_sched_ab_artifact_writer_merges_and_recommends(tmp_path):
+    """write_artifact merges invocations, recommends the fastest
+    bit-identical bfloat16 variant, and never auto-recommends int8."""
+    import importlib.util
+    import types
+    path = os.path.join(os.path.dirname(BENCH), "scripts", "sched_ab.py")
+    spec = importlib.util.spec_from_file_location("sched_ab_mod", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    out = str(tmp_path / "sched_ab.json")
+    args = types.SimpleNamespace(batch=16384, mi=10, snr=3.4,
+                                 code="near-earth", store="bfloat16",
+                                 trials=3, out=out)
+    v = [(0, 128, False), (4, 128, False)]
+    m.write_artifact(args, v, {v[0]: [0.150], v[1]: [0.120]},
+                     {x: [10] for x in v}, {x: True for x in v})
+    art = json.load(open(out))
+    assert art["adopt"] and art["recommended"]["dep_stride"] == 4
+    # second invocation merges; its faster popcount variant wins
+    v2 = [(0, 128, False), (0, 128, True)]
+    m.write_artifact(args, v2, {v2[0]: [0.150], v2[1]: [0.110]},
+                     {x: [10] for x in v2}, {x: True for x in v2})
+    art = json.load(open(out))
+    assert len(art["entries"]) == 3
+    assert art["recommended"]["popcount_sign"] is True
+    # an even faster int8 entry is recorded but never recommended
+    args.store = "int8"
+    m.write_artifact(args, [v[0]], {v[0]: [0.050]}, {v[0]: [12]},
+                     {v[0]: False})
+    art = json.load(open(out))
+    assert art["recommended"]["popcount_sign"] is True
+    assert "s0_t128_p0_int8" in art["entries"]
+    # a non-exact variant is never recommended
+    args.store = "bfloat16"
+    m.write_artifact(args, v2, {v2[0]: [0.150], v2[1]: [0.040]},
+                     {x: [10] for x in v2},
+                     {v2[0]: True, v2[1]: False})
+    art = json.load(open(out))
+    assert art["recommended"]["dep_stride"] == 4
+    assert art["recommended"]["popcount_sign"] is False
+
+
 def test_bench_cpu_smoke_emits_metric_json():
     # Tiny batch, single trial, XLA engine: the full supervisor->child
     # pipeline on the CPU backend.  ~1 min.

@@ -86,6 +86,31 @@ def test_sharded_staged_equals_sharded_unstaged():
                                rtol=1e-6)
 
 
+def test_sharded_layered_needs_pallas():
+    wifi = wifi_code()
+    with pytest.raises(ValueError, match="pallas"):
+        evaluate_code_sharded(wifi, [3.0], 8, max_iters=10, staged=False,
+                              mesh=make_mesh(), engine="xla",
+                              schedule="layered")
+
+
+@pytest.mark.slow
+def test_sharded_layered_schedule_matches_single_device():
+    """``schedule`` is plumbed through the sharded path: the layered
+    pallas cascade over the mesh reproduces the single-device layered
+    statistics exactly (same keys + batching, per-word latching)."""
+    wifi = wifi_code()
+    kw = dict(max_iters=12, batch_size=16, seed=3, staged=True,
+              phase1_iters=4, engine="pallas", schedule="layered")
+    a = evaluate_code_sharded(wifi, [3.0], 32, mesh=make_mesh(),
+                              pallas_tile_b=2, **kw)
+    b = evaluate_code(wifi, [3.0], 32, **kw)
+    sa, sb = a.summary(), b.summary()
+    np.testing.assert_array_equal(sa["ber"], sb["ber"])
+    np.testing.assert_allclose(sa["avg_iterations"], sb["avg_iterations"],
+                               rtol=1e-6)
+
+
 def test_sharded_checkpoint_resume_and_early_abort(tmp_path):
     wifi = wifi_code()
     mesh = make_mesh()

@@ -157,6 +157,37 @@ def test_evaluate_code_staged_matches_direct():
     np.testing.assert_allclose(itr_a, itr_b)
 
 
+def test_evaluate_code_layered_needs_pallas():
+    # layered needs the pallas kernel: the XLA engine refuses loudly
+    # (instead of silently decoding with the flooding schedule)
+    wifi = wifi_code()
+    with pytest.raises(ValueError, match="pallas"):
+        evaluate_code(wifi, [3.0], 8, max_iters=10, engine="xla",
+                      schedule="layered")
+    with pytest.raises(ValueError, match="pallas"):
+        evaluate_code(wifi, [3.0], 8, max_iters=10, engine="xla",
+                      tile_b=128)
+
+
+@pytest.mark.slow
+def test_evaluate_code_unstaged_honors_engine_and_schedule():
+    """``staged=False`` routes through the same builder as the staged
+    path (empty cascade), so ``engine``/``schedule`` are honored instead
+    of silently dropped; per-word latching then makes the unstaged pallas
+    layered sweep bit-identical to the staged one."""
+    wifi = wifi_code()
+    kw = dict(max_iters=12, batch_size=8, seed=5, engine="pallas",
+              schedule="layered")
+    # different codeword tiles on the two sides: per-word results must be
+    # tile-invariant (the tile only partitions the kernel grid)
+    a = evaluate_code(wifi, [3.0], 16, staged=False, tile_b=2, **kw)
+    b = evaluate_code(wifi, [3.0], 16, staged=True, phase1_iters=[4], **kw)
+    sa, sb = a.summary(), b.summary()
+    np.testing.assert_array_equal(sa["ber"], sb["ber"])
+    np.testing.assert_allclose(sa["avg_iterations"], sb["avg_iterations"],
+                               rtol=1e-6)
+
+
 def test_stats_save_load_roundtrip(tmp_path):
     st = BerStatistics(50)
     st.add_entry(3.0, 0.5, 0.5, 3, 1, 7, 50, True)
