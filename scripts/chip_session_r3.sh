@@ -57,24 +57,20 @@ step bench 2400 python bench.py
 #    (bench.py warns on the stale pre-r3 artifact until this runs)
 step ber_parity 2400 python scripts/ber_parity.py --words 16384
 
-# 3. deep error-floor sweep (identical kernel shapes to bench — cheap)
-step error_floor 1800 python scripts/error_floor.py
+# --- headline perf chain first (VERDICT r2 #1-2): if the tunnel comes
+# back with little round time left, the record bench + the two tuning
+# A/Bs + their adopted re-bench are worth more than any single study.
+# Every step still self-probes and commits its artifacts immediately.
 
-# 4. staging cascade grid re-tune (known kernel, new budgets)
-step staging_grid 2400 python scripts/staging_grid.py --trials 3
-
-# 5. int8 message-memory study (novel int8 kernel compile)
-step quantized_ber 1800 python scripts/quantized_ber.py
-
-# 5b. layered-vs-flooding schedule A/B under the full bench protocol
-#     (the biggest unmeasured lever: ~2x fewer sweeps to converge; the
-#     layered near-earth compile is novel but structurally the same
-#     size/live-set as the flooding kernel)
+# 3. layered-vs-flooding schedule A/B under the full bench protocol
+#    (the biggest unmeasured lever: ~2x fewer sweeps to converge; the
+#    layered near-earth compile is novel but structurally the same
+#    size/live-set as the flooding kernel)
 step layered_ab 3300 python scripts/layered_ab.py
 
-# 5c. if the A/B recommends layered (faster AND BER-parity at every
-#     point), re-run the headline bench so the adopted configuration has
-#     a fresh committed number before the driver's round-end capture
+# 4. if the A/B recommends layered (faster AND BER-parity at every
+#    point), re-run the headline bench so the adopted configuration has
+#    a fresh committed number before the driver's round-end capture
 step bench_tuned 2400 bash -c '
   python - <<PY
 import json, sys
@@ -85,34 +81,26 @@ except Exception:
 PY
   [ $? -eq 0 ] && exec python bench.py || echo "no adoption; skipping re-bench"'
 
-# 6. wifi sum-product pallas waterfall on chip (novel but small kernels)
-step wifi_pallas 1800 python scripts/wifi_waterfall.py --engine pallas --words 8192
-
-# 7. giant-code single-chip HBM path (novel shapes, XLA engine only)
-step giant_code 1800 python scripts/giant_code.py --layouts 1x1 --z-list 4096,16384 --crosscheck-z 0 --out /root/repo/docs/giant_code_chip.json
-
-# 8. scheduling A/B (novel barrier kernels): dep_stride x tile_b
-#    cartesian; tile 256 may be rejected at compile time by the
-#    scoped-VMEM ceiling (safe).  Runs BEFORE the long RL search: its
-#    winner feeds the headline bench (VERDICT r2 #2), the search is one
-#    of four study artifacts (#3).  Results merge into
-#    docs/sched_ab.json, which bench.py auto-adopts while fresh.
-step sched_ab 3300 python scripts/sched_ab.py --strides 0,4 --tile-bs 128,256 --trials 3
-
-# 9. sign-popcount micro-opt A/B (one extra kernel compile on the
+# 5. sign-popcount micro-opt A/B (one extra kernel compile on the
 #    familiar tile-128 shape; bit-identical outputs by construction)
 step sched_ab_pop 2400 python scripts/sched_ab.py --strides 0 --tile-bs 128 --popcounts 0,1 --trials 4
 
-# 10. int8 storage x tile A/B: int8 halves the VMEM live set, so tile
-#     256 may fit where the bf16-256 variant is compile-rejected —
-#     the one tile/dtype corner the bf16 A/B (step 8) cannot reach.
-#     (Recorded only: int8 changes numerics, so bench adoption is
-#     adjudicated by the quantized_ber study, never by this timing.)
+# 6. scheduling A/B (novel barrier kernels): dep_stride x tile_b
+#    cartesian; tile 256 may be rejected at compile time by the
+#    scoped-VMEM ceiling (safe).  Results merge into docs/sched_ab.json,
+#    which bench.py auto-adopts while fresh.
+step sched_ab 3300 python scripts/sched_ab.py --strides 0,4 --tile-bs 128,256 --trials 3
+
+# 7. int8 storage x tile A/B: int8 halves the VMEM live set, so tile
+#    256 may fit where the bf16-256 variant is compile-rejected —
+#    the one tile/dtype corner the bf16 A/B (step 6) cannot reach.
+#    (Recorded only: int8 changes numerics, so bench adoption is
+#    adjudicated by the quantized_ber study, never by this timing.)
 step sched_ab_int8 2400 python scripts/sched_ab.py --strides 0 --tile-bs 128,256 --store int8 --trials 3
 
-# 11. if the lever A/Bs recommend a non-default bit-identical variant,
-#     re-run the headline bench (bench.py adopts docs/sched_ab.json
-#     itself, so the round-end driver capture inherits the same tuning)
+# 8. if the lever A/Bs recommend a non-default bit-identical variant,
+#    re-run the headline bench (bench.py adopts docs/sched_ab.json
+#    itself, so the round-end driver capture inherits the same tuning)
 step bench_levers 2400 bash -c '
   python - <<PY
 import json, sys
@@ -123,7 +111,25 @@ except Exception:
 PY
   [ $? -eq 0 ] && exec python bench.py || echo "no lever adoption; skipping re-bench"'
 
-# 12. wide-window RL search (longest single step; uses only
+# --- the study queue (VERDICT r2 #3) ---
+
+# 9. staging cascade grid re-tune (known kernel; rerun on the adopted
+#    schedule/levers so the cascade budgets match the tuned kernel)
+step staging_grid 2400 python scripts/staging_grid.py --trials 3
+
+# 10. deep error-floor sweep (identical kernel shapes to bench — cheap)
+step error_floor 1800 python scripts/error_floor.py
+
+# 11. int8 message-memory BER study (novel int8 kernel compile)
+step quantized_ber 1800 python scripts/quantized_ber.py
+
+# 12. wifi sum-product pallas waterfall on chip (novel but small kernels)
+step wifi_pallas 1800 python scripts/wifi_waterfall.py --engine pallas --words 8192
+
+# 13. giant-code single-chip HBM path (novel shapes, XLA engine only)
+step giant_code 1800 python scripts/giant_code.py --layouts 1x1 --z-list 4096,16384 --crosscheck-z 0 --out /root/repo/docs/giant_code_chip.json
+
+# 14. wide-window RL search (longest single step; uses only
 #     bench-familiar decode shapes)
 step rl_search_wide 5400 python scripts/rl_search_wide.py
 

@@ -55,6 +55,18 @@ def main():
     code = wifi_code() if args.code == "wifi" else near_earth_code()
     transmit = _transmit_fn(code.n, scale_llr=False)
 
+    # Re-tune on the ADOPTED kernel configuration: reuse bench.py's
+    # resolvers so the grid measures the same schedule + bit-identical
+    # levers the headline bench will run (env overrides still win there;
+    # the phases/caps the cascade resolver returns are ignored — the
+    # cascade IS what this grid searches).
+    import bench
+    schedule, _, _ = bench.resolve_cascade("pallas", b)
+    levers = {k: v for k, v in bench.resolve_levers("pallas").items()
+              if v is not None}
+    print(f"grid kernel config: schedule={schedule} levers={levers}",
+          flush=True)
+
     # (phases, caps) — caps in words, rounded to the 128 tile inside.
     # Each distinct iteration budget is a separate ~2-6 min kernel
     # compile, so the grid reuses budgets: {6, 8, 12, 16, 50}.
@@ -71,6 +83,7 @@ def main():
         dec = make_staged_decoder_device(
             code, args.max_iters, phase1_iters=list(phases),
             redo_capacity=list(caps), engine="pallas",
+            schedule=schedule, **levers,
             store_dtype=jnp.dtype(args.store))
         llr, _, _, _ = transmit(jax.random.key(hash(phases) % 2**31),
                                 jnp.full((b,), args.snr, jnp.float32))
