@@ -303,8 +303,8 @@ def measure():
 
         return run
 
-    run = build(engine, dtype_env)
-    try:  # compile check; fall back if the kernel fails
+    try:  # build + compile check; fall back if the kernel fails
+        run = build(engine, dtype_env)
         run(jax.random.fold_in(key, 999),
             jnp.full((batch,), 3.4, jnp.float32))
     except Exception as e:  # noqa: BLE001 — any toolchain failure
@@ -323,8 +323,8 @@ def measure():
                 max(128, batch * 3 // 16)]
             levers = {"tile_b": None, "dep_stride": None,
                       "popcount_sign": None}
-            run = build(engine, dtype_env)
             try:
+                run = build(engine, dtype_env)
                 run(jax.random.fold_in(key, 999),
                     jnp.full((batch,), 3.4, jnp.float32))
                 recovered = True

@@ -165,6 +165,60 @@ def test_sched_ab_artifact_writer_merges_and_recommends(tmp_path):
     assert art["recommended"]["popcount_sign"] is False
 
 
+def test_bench_falls_back_to_pallas_defaults_before_xla(tmp_path,
+                                                        monkeypatch,
+                                                        capsys):
+    """If the adopted (schedule x levers) combination fails to compile,
+    measure() retries the pallas engine at pure defaults before
+    surrendering to the XLA engine."""
+    import importlib.util
+    import numpy as np
+    spec = importlib.util.spec_from_file_location("bench_mod3", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+
+    for k in list(os.environ):
+        if k.startswith(("LDPC_TPU_BENCH", "LDPC_TPU_PALLAS")):
+            monkeypatch.delenv(k, raising=False)
+    # a fresh artifact that adopts the layered schedule
+    art = tmp_path / "layered_ab.json"
+    art.write_text(json.dumps(
+        {"adopt": True, "kernel_hash": kernel_source_hash(),
+         "recommended": {"schedule": "layered", "phases": [6],
+                         "caps_16ths": [3]}}))
+    monkeypatch.setenv("LDPC_TPU_BENCH_AB_PATH", str(art))
+    monkeypatch.setenv("LDPC_TPU_BENCH_BATCH", "8")
+    monkeypatch.setenv("LDPC_TPU_BENCH_TRIALS", "1")
+
+    calls = []
+
+    def fake_factory(code, max_iters, **kw):
+        calls.append(kw)
+        if kw.get("schedule", "flooding") != "flooding":
+            raise RuntimeError("tuned kernel rejected")
+
+        def step(key, snr_db):
+            b = snr_db.shape[0]
+            return {"errors_decoded": np.zeros(b, np.int64),
+                    "iterations": np.full(b, 3, np.int32),
+                    "success": np.ones(b, bool)}
+
+        return step
+
+    import ldpc_tpu.sim.evaluate as ev
+    monkeypatch.setattr(ev, "make_staged_sweep_device", fake_factory)
+    bench.measure()
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] > 0 and "error" not in line
+    # first build: the adopted layered config; second: pallas defaults
+    # (flooding, no levers) — never the XLA engine
+    assert calls[0].get("schedule") == "layered"
+    assert calls[1].get("schedule") == "flooding"
+    assert all(c.get("engine", "xla") == "pallas" for c in calls[:2])
+    assert len(calls) == 2
+
+
 def test_bench_cpu_smoke_emits_metric_json():
     # Tiny batch, single trial, XLA engine: the full supervisor->child
     # pipeline on the CPU backend.  ~1 min.
