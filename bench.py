@@ -237,6 +237,42 @@ def resolve_levers(engine):
     return levers
 
 
+def resolve_store(engine, schedule):
+    """Pallas VMEM storage dtype to use when LDPC_TPU_BENCH_DTYPE is
+    unset.
+
+    ``None`` keeps the kernel default (bfloat16).  int8 (Q4.3 fixed
+    point, half the live set) is adopted from the quantized-BER study
+    artifact (scripts/quantized_ber.py -> docs/quantized_ber.json, or
+    LDPC_TPU_BENCH_QBER_PATH) when it recommends adoption, was measured
+    against the current kernel sources, and the schedule is flooding —
+    the study adjudicates int8 numerics under flooding only, and
+    int8 x layered is a combination no artifact has adjudicated.
+    """
+    qb_path = os.environ.get(
+        "LDPC_TPU_BENCH_QBER_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "docs", "quantized_ber.json"))
+    if (engine != "pallas" or schedule != "flooding"
+            or not os.path.exists(qb_path)):
+        return None
+    with open(qb_path) as f:
+        qb = json.load(f)
+    if not qb.get("adopt"):
+        return None
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+    if qb.get("kernel_hash") != kernel_source_hash():
+        print(f"[bench] IGNORING stale {qb_path} (kernel sources changed "
+              "since the study; rerun scripts/quantized_ber.py)",
+              file=sys.stderr)
+        return None
+    store = qb["recommended"]["store_dtype"]
+    print(f"[bench] adopting storage dtype {store} from {qb_path} "
+          "(BER within the bfloat16 run's band at every point)",
+          file=sys.stderr)
+    return store
+
+
 def measure():
     import jax
     if os.environ.get("LDPC_TPU_PLATFORM"):
@@ -280,6 +316,10 @@ def measure():
     # every SNR point) that justifies changing the schedule.
     schedule, phases, caps = resolve_cascade(engine, batch)
     levers = resolve_levers(engine)
+    adopted_store = None
+    if dtype_env is None:
+        adopted_store = resolve_store(engine, schedule)
+        dtype_env = adopted_store
 
     def build(eng, dt):
         # Transmit + staged cascade fused into ONE dispatch per batch
@@ -310,6 +350,7 @@ def measure():
     except Exception as e:  # noqa: BLE001 — any toolchain failure
         adopted = (engine == "pallas"
                    and (schedule != "flooding"
+                        or adopted_store is not None
                         or any(v is not None for v in levers.values())))
         recovered = False
         if adopted:
@@ -323,6 +364,8 @@ def measure():
                 max(128, batch * 3 // 16)]
             levers = {"tile_b": None, "dep_stride": None,
                       "popcount_sign": None}
+            if adopted_store is not None:
+                dtype_env = adopted_store = None
             try:
                 run = build(engine, dtype_env)
                 run(jax.random.fold_in(key, 999),
@@ -406,6 +449,10 @@ def measure():
     if engine == "pallas" and any(v is not None for v in levers.values()):
         extra["levers"] = {k: v for k, v in levers.items()
                            if v is not None}
+    if adopted_store is not None:
+        # adjudicated by docs/quantized_ber.json (int8 FER within the
+        # bfloat16 run's Wilson CI at every point)
+        extra["store_dtype"] = adopted_store
     emit(round(value, 1), round(value / BASELINE_AT_3P4, 2), extra or None)
 
 

@@ -120,8 +120,22 @@ step staging_grid 2400 python scripts/staging_grid.py --trials 3
 # 10. deep error-floor sweep (identical kernel shapes to bench — cheap)
 step error_floor 1800 python scripts/error_floor.py
 
-# 11. int8 message-memory BER study (novel int8 kernel compile)
+# 11. int8 message-memory BER study (novel int8 kernel compile); writes
+#     an adoption verdict (FER within the bf16 Wilson band at every
+#     point AND faster) that bench.py applies under flooding
 step quantized_ber 1800 python scripts/quantized_ber.py
+
+# 11b. if the study adopts int8, re-run the headline bench so the
+#      adopted storage dtype has a fresh committed number
+step bench_store 2400 bash -c '
+  python - <<PY
+import json, sys
+try:
+    sys.exit(0 if json.load(open("docs/quantized_ber.json")).get("adopt") else 1)
+except Exception:
+    sys.exit(1)
+PY
+  [ $? -eq 0 ] && exec python bench.py || echo "no int8 adoption; skipping re-bench"'
 
 # 12. wifi sum-product pallas waterfall on chip (novel but small kernels)
 step wifi_pallas 1800 python scripts/wifi_waterfall.py --engine pallas --words 8192

@@ -30,6 +30,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def adjudicate(results, snr_points, words):
+    """Adoption verdict (mirrors layered_ab.py's role for the schedule).
+
+    int8 may replace bfloat16 as the bench storage dtype only if, at
+    EVERY point, its frame-error rate lies within the bf16 run's 95%
+    Wilson CI (frames are iid; bits within a frame are not) and its BER
+    does not exceed 1.1x where bf16 BER is nonzero (nor appear where
+    bf16 is clean), AND it is faster at the 3.4 dB operating point.
+    bench.py applies the verdict only under the flooding schedule —
+    int8 x layered is a numerics combination no study has adjudicated.
+    Stamps the kernel source hash so a stale verdict is ignored.
+    """
+    results["adopt"] = False
+    if {"bfloat16", "int8"} <= set(results["stores"]):
+        bf = results["stores"]["bfloat16"]
+        i8 = results["stores"]["int8"]
+
+        def wilson(k, n, z=1.96):
+            p = k / n
+            d = 1 + z * z / n
+            c = p + z * z / (2 * n)
+            h = z * ((p * (1 - p) + z * z / (4 * n)) / n) ** 0.5
+            return (c - h) / d, (c + h) / d
+
+        ok = True
+        for pb, pi in zip(bf, i8):
+            lo, hi = wilson(round(pb["fer"] * words), words)
+            ok &= lo <= pi["fer"] <= hi
+            if pb["ber"] > 0:
+                ok &= pi["ber"] <= 1.1 * pb["ber"]
+            else:
+                ok &= pi["ber"] == 0
+        op = min(range(len(snr_points)),
+                 key=lambda i: abs(snr_points[i] - 3.4))
+        faster = i8[op]["mbit_s"] > bf[op]["mbit_s"]
+        results["adopt"] = bool(ok and faster)
+        results["ber_within_band"] = bool(ok)
+        results["faster_at_operating_point"] = bool(faster)
+        if results["adopt"]:
+            results["recommended"] = {"store_dtype": "int8"}
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+    results["kernel_hash"] = kernel_source_hash()
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--words", type=int, default=32768)
@@ -82,6 +127,9 @@ def main():
                   f"FER {pts[-1]['fer']:.4f} {pts[-1]['mbit_s']:.0f} "
                   f"Mbit/s", flush=True)
         results["stores"][store] = pts
+
+    adjudicate(results, args.snr, b)
+    print(f"adopt={results['adopt']}", flush=True)
 
     if not args.no_write:
         with open("/root/repo/docs/quantized_ber.json", "w") as f:

@@ -165,6 +165,64 @@ def test_sched_ab_artifact_writer_merges_and_recommends(tmp_path):
     assert art["recommended"]["popcount_sign"] is False
 
 
+def test_bench_adopts_int8_store_only_under_flooding(tmp_path, monkeypatch):
+    """resolve_store adopts the quantized-BER verdict when fresh and the
+    schedule is flooding; layered or a stale hash blocks adoption."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench_mod4", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+
+    art = tmp_path / "quantized_ber.json"
+    payload = {"adopt": True, "kernel_hash": kernel_source_hash(),
+               "recommended": {"store_dtype": "int8"}}
+    art.write_text(json.dumps(payload))
+    monkeypatch.setenv("LDPC_TPU_BENCH_QBER_PATH", str(art))
+
+    assert bench.resolve_store("pallas", "flooding") == "int8"
+    assert bench.resolve_store("pallas", "layered") is None
+    assert bench.resolve_store("xla", "flooding") is None
+    payload["kernel_hash"] = "deadbeef"
+    art.write_text(json.dumps(payload))
+    assert bench.resolve_store("pallas", "flooding") is None
+
+
+def test_quantized_ber_adjudication():
+    """int8 adoption requires every point inside the bf16 Wilson band,
+    no BER blow-up, and a speedup at the operating point."""
+    import importlib.util
+    path = os.path.join(os.path.dirname(BENCH), "scripts",
+                        "quantized_ber.py")
+    spec = importlib.util.spec_from_file_location("qber_mod", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    def pts(fers, bers, mbits):
+        return [{"fer": f, "ber": b, "mbit_s": s}
+                for f, b, s in zip(fers, bers, mbits)]
+
+    snr, words = [3.0, 3.4], 32768
+    good = {"stores": {
+        "bfloat16": pts([0.1, 0.01], [1e-3, 1e-5], [600, 700]),
+        "int8": pts([0.102, 0.0101], [1.05e-3, 1.05e-5], [800, 900])}}
+    r = m.adjudicate(dict(good), snr, words)
+    assert r["adopt"] and r["recommended"] == {"store_dtype": "int8"}
+    # slower at the operating point -> no adoption
+    slow = json.loads(json.dumps(good))
+    slow["stores"]["int8"][1]["mbit_s"] = 600
+    assert not m.adjudicate(slow, snr, words)["adopt"]
+    # FER outside the Wilson band -> no adoption
+    bad = json.loads(json.dumps(good))
+    bad["stores"]["int8"][0]["fer"] = 0.12
+    assert not m.adjudicate(bad, snr, words)["adopt"]
+    # int8 errors where bf16 is clean -> no adoption
+    dirty = json.loads(json.dumps(good))
+    dirty["stores"]["bfloat16"][1]["ber"] = 0.0
+    dirty["stores"]["bfloat16"][1]["fer"] = 0.0
+    assert not m.adjudicate(dirty, snr, words)["adopt"]
+
+
 def test_bench_falls_back_to_pallas_defaults_before_xla(tmp_path,
                                                         monkeypatch,
                                                         capsys):
