@@ -112,25 +112,36 @@ def test_layered_schedule_converges_faster(wifi):
     assert ok.all() and e.sum() == 0
 
 
-def test_popcount_sign_mode_bit_identical(wifi):
+def _assert_popcount_bit_identical(wifi, combos):
     """The sign-popcount micro-opt (ROADMAP parked item): deriving the
     per-check sign product from the packed edge-sign bits must leave
-    trajectories bit-identical to the stored-plane kernel, in every
-    schedule and storage dtype."""
+    trajectories bit-identical to the stored-plane kernel."""
     noisy, _, _ = transmit_zero_codeword(jax.random.key(9), 4, wifi.n, 2.2)
-    for schedule in ("flooding", "layered"):
-        for sd in (jnp.bfloat16, jnp.int8):
-            base = make_static_sweep_decoder(
-                wifi, max_iters=10, tile_b=4, store_dtype=sd,
-                schedule=schedule, interpret=True, popcount_sign=False)
-            pop = make_static_sweep_decoder(
-                wifi, max_iters=10, tile_b=4, store_dtype=sd,
-                schedule=schedule, interpret=True, popcount_sign=True)
-            eb, ib, ob = map(np.asarray, base(noisy))
-            ep, ip, op = map(np.asarray, pop(noisy))
-            assert np.array_equal(eb, ep), (schedule, sd)
-            assert np.array_equal(ib, ip), (schedule, sd)
-            assert np.array_equal(ob, op), (schedule, sd)
+    for schedule, sd in combos:
+        base = make_static_sweep_decoder(
+            wifi, max_iters=10, tile_b=4, store_dtype=sd,
+            schedule=schedule, interpret=True, popcount_sign=False)
+        pop = make_static_sweep_decoder(
+            wifi, max_iters=10, tile_b=4, store_dtype=sd,
+            schedule=schedule, interpret=True, popcount_sign=True)
+        eb, ib, ob = map(np.asarray, base(noisy))
+        ep, ip, op = map(np.asarray, pop(noisy))
+        assert np.array_equal(eb, ep), (schedule, sd)
+        assert np.array_equal(ib, ip), (schedule, sd)
+        assert np.array_equal(ob, op), (schedule, sd)
+
+
+def test_popcount_sign_mode_bit_identical(wifi):
+    # fast gate: the production-default combo (flooding, bfloat16)
+    _assert_popcount_bit_identical(wifi, [("flooding", jnp.bfloat16)])
+
+
+@pytest.mark.slow
+def test_popcount_sign_mode_bit_identical_all_combos(wifi):
+    # the remaining schedule x storage matrix
+    _assert_popcount_bit_identical(
+        wifi, [("flooding", jnp.int8), ("layered", jnp.bfloat16),
+               ("layered", jnp.int8)])
 
 
 def test_static_kernel_random_qc_codes():
