@@ -114,6 +114,38 @@ _DEP_STRIDE = int(__import__("os").environ.get(
 _POPCOUNT_SIGN = bool(int(__import__("os").environ.get(
     "LDPC_TPU_PALLAS_POPCOUNT_SIGN", 0)))
 
+# Whether ``jax.lax.optimization_barrier`` lowers inside a Mosaic TC
+# kernel on the current toolchain.  Probed lazily with a [8, 128] kernel
+# (seconds, vs minutes for the decoder) because jaxlib builds differ:
+# when it does not lower (NotImplementedError at compile time), the
+# dep_stride gate falls back to a ``dep * 0.0`` data edge — exact for
+# the kernel's clipped-finite fold states (no inf/nan reaches a gate, so
+# ``x + dep*0.0 == x`` bar sign-of-zero, which no downstream comparison
+# observes) and not foldable by the compiler without fast-math.
+_BARRIER_OK: bool | None = None
+
+
+def _barrier_lowers() -> bool:
+    global _BARRIER_OK
+    if _BARRIER_OK is None:
+        from jax.experimental import pallas as pl
+
+        def probe(x_ref, o_ref):
+            a = x_ref[...]
+            b = jnp.abs(a)
+            a, b = jax.lax.optimization_barrier((a, b))
+            o_ref[...] = a + b
+
+        try:
+            jax.block_until_ready(pl.pallas_call(
+                probe,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
+                    jnp.zeros((8, 128), jnp.float32)))
+            _BARRIER_OK = True
+        except Exception:
+            _BARRIER_OK = False
+    return _BARRIER_OK
+
 
 def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                   store_dtype, schedule: str, kind: str, alpha: float,
@@ -128,6 +160,17 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
     f32, i32 = jnp.float32, jnp.int32
     sd = jnp.dtype(store_dtype)
     quant = jnp.issubdtype(sd, jnp.integer)
+
+    gate_env = __import__("os").environ.get("LDPC_TPU_PALLAS_GATE", "auto")
+    if dep_stride and (gate_env == "mul0" or (
+            gate_env == "auto" and not interpret and not _barrier_lowers())):
+        def _gate(val, dep):
+            # mul-0 data edge (see _barrier_lowers): schedules `val`'s
+            # consumers after `dep` exists, value-exact for finite dep.
+            return val + dep * f32(0.0), dep
+    else:
+        def _gate(val, dep):
+            return jax.lax.optimization_barrier((val, dep))
 
     if quant:
         # Fixed-point message memory (the 6-8 bit storage every hardware
@@ -342,8 +385,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                     last_nb, tot_nb = nb, _ld(totals[nb])
                 tin = tot_nb
                 if dep_stride and ei and ei % dep_stride == 0:
-                    tin, s_new = jax.lax.optimization_barrier(
-                        (tot_nb, s_new))
+                    tin, s_new = _gate(tot_nb, s_new)
                 t = _rot(tin, s)
                 par = par ^ jnp.where(t < 0, 1, 0)
                 e = edge_ix[(mb, d)]
@@ -383,8 +425,8 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                 if dep_stride and ei and ei % dep_stride == 0:
                     # Deny the rotation hoist: the rotation input may not
                     # be scheduled before the fold state of the previous
-                    # edge group exists.  The barrier is a value identity.
-                    tin, m1n = jax.lax.optimization_barrier((tot_nb, m1n))
+                    # edge group exists.  The gate is a value identity.
+                    tin, m1n = _gate(tot_nb, m1n)
                 t = _rot(tin, s)
                 # pad rows (>= z) accumulate roll garbage; masked once at
                 # the fold in flooding_body instead of per edge
@@ -483,8 +525,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                             s_tot, spv, bitsv = all_sp[mb]
                             phi_d = _ld(phi_ref[edge_ix[(mb, d)]])
                             if dep_stride and ei and ei % dep_stride == 0:
-                                phi_d, tot = jax.lax.optimization_barrier(
-                                    (phi_d, tot))
+                                phi_d, tot = _gate(phi_d, tot)
                             msg = _recon_sp(s_tot, spv, bitsv, phi_d, d)
                         else:
                             st = all_stats[mb]
@@ -492,8 +533,7 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
                                 # Same hoist denial for the recon+rotate
                                 # chain: gate the stats plane on the
                                 # accumulator of the previous edge group.
-                                m1g, tot = jax.lax.optimization_barrier(
-                                    (st[0], tot))
+                                m1g, tot = _gate(st[0], tot)
                                 st = (m1g,) + st[1:]
                             msg = _recon(st, d)
                         tot = tot + _rot(msg, (z - s) % z)
@@ -685,7 +725,11 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     plan = DecodePlan.from_code(code)
     key = (plan.cache_key(), max_iters, tile_b,
            jnp.dtype(store_dtype).name, schedule, kind, a, b_off,
-           interpret, jit, ds, ps)
+           interpret, jit, ds, ps,
+           # gate choice is env-driven and per-process deterministic
+           # ("auto" resolves via the one-shot _barrier_lowers probe)
+           __import__("os").environ.get("LDPC_TPU_PALLAS_GATE", "auto")
+           if ds else "")
     if key in _CACHE:
         return _CACHE[key]
     kernel_call = _build_kernel(plan, max_iters, tile_b, store_dtype,

@@ -67,27 +67,16 @@ def main():
     from ldpc_tpu.ops.pallas_static import make_static_sweep_decoder
     from ldpc_tpu.sim.channel import transmit_zero_codeword
 
-    # Preflight: does optimization_barrier lower in Mosaic at all?  A
-    # [8,128] probe costs seconds; the near-earth kernel compile costs
-    # minutes and has wedged the tunnel before.
-    from jax.experimental import pallas as pl
+    # Preflight: does optimization_barrier lower in Mosaic on this
+    # jaxlib?  A [8,128] probe costs seconds; the near-earth kernel
+    # compile costs minutes and has wedged the tunnel before.  When it
+    # does NOT lower, stride>0 variants still run — the kernel builder
+    # falls back to the value-exact mul-0 data-edge gate (see
+    # ops/pallas_static.py:_barrier_lowers).
+    from ldpc_tpu.ops.pallas_static import _barrier_lowers
 
-    def probe_kernel(x_ref, o_ref):
-        a = x_ref[...]
-        b2 = jnp.abs(a)
-        a2, b2 = jax.lax.optimization_barrier((a, b2))
-        o_ref[...] = a2 + b2
-
-    probe = jax.jit(pl.pallas_call(
-        probe_kernel,
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        interpret=args.interpret))
-    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128) - 100.0
-    got = jax.device_get(probe(x))
-    want = np.asarray(x + jnp.abs(x))
-    assert np.array_equal(got, want), "optimization_barrier mis-lowered"
-    print("preflight: optimization_barrier lowers in Mosaic OK",
-          flush=True)
+    gate = "barrier" if (args.interpret or _barrier_lowers()) else "mul0"
+    print(f"preflight: dep_stride gate = {gate}", flush=True)
 
     code = wifi_code() if args.code == "wifi" else near_earth_code()
     store = jnp.dtype(args.store)

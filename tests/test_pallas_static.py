@@ -223,15 +223,21 @@ def test_static_kernel_minsum_variants_match_xla(wifi, kind):
     assert np.array_equal(np.asarray(ref.success), np.asarray(ok))
 
 
+@pytest.mark.parametrize("gate", ["barrier", "mul0"])
 @pytest.mark.parametrize("schedule", ["flooding", "layered"])
-def test_dep_stride_gating_is_bit_identical(schedule):
-    """dep_stride (rotation-hoist denial via optimization_barrier) is a
-    pure scheduling lever: outputs must be bit-identical to the ungated
-    kernel for every schedule, including failed words.  (A small random
-    QC code keeps this in the fast suite; gating is structural, not
-    z-dependent — wifi/near-earth take the same code path.)"""
+def test_dep_stride_gating_is_bit_identical(schedule, gate, monkeypatch):
+    """dep_stride (rotation-hoist denial) is a pure scheduling lever:
+    outputs must be bit-identical to the ungated kernel for every
+    schedule and for both gate implementations — optimization_barrier
+    and the mul-0 data-edge fallback used where Mosaic does not lower
+    the barrier (pallas_static._barrier_lowers) — including failed
+    words.  (A small random QC code keeps this in the fast suite;
+    gating is structural, not z-dependent — wifi/near-earth take the
+    same code path.)"""
     from ldpc_tpu.codes.qc import QCCode
 
+    monkeypatch.setenv("LDPC_TPU_PALLAS_GATE",
+                       {"barrier": "auto", "mul0": "mul0"}[gate])
     code = QCCode(z=19, name="dsrand", shifts=(
         ((3,), (7, 11), (0,), (), (5,), (2,)),
         ((1,), (), (4, 9), (8,), (), (6,))))
