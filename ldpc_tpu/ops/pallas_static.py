@@ -299,7 +299,9 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
             return (words[d // 32] >> (d % 32)) & 1
 
         for nb in range(nb_n):
-            totals[nb] = -chan[nb]   # exact for quant too: clip symmetric
+            # negate in f32: Mosaic cannot legalize i8 vector subi, and
+            # quantize(-dequantize(x)) == -x exactly (symmetric clip)
+            totals[nb] = _st(-_ld(chan[nb]))
         for mb in range(mb_n):
             if sp_ref is not None:
                 sp_ref[mb] = _st(jnp.ones((zp, tile_b), f32))
