@@ -298,7 +298,15 @@ def measure():
     # of physical VMEM and wedged the device at bench scale) or the XLA
     # engine's compute dtype.
     dtype_env = os.environ.get("LDPC_TPU_BENCH_DTYPE")
-    key = jax.random.key(7134066)
+    # LDPC_TPU_BENCH_PRNG selects the channel-noise generator impl:
+    # "threefry2x32" (default; bit-reproducible across backends) or
+    # "rbg"/"unsafe_rbg" (the TPU hardware RNG path — the fused
+    # transmit's threefry keygen is a measurable slice of the dispatch,
+    # and Monte-Carlo noise only needs distribution, not counter-mode
+    # reproducibility).  Keys thread through fold_in/awgn unchanged.
+    key = jax.random.key(7134066,
+                         impl=os.environ.get("LDPC_TPU_BENCH_PRNG",
+                                             "threefry2x32"))
 
     # LDPC_TPU_BENCH_PHASES="p1[,p2,..]" / LDPC_TPU_BENCH_CAPS="c1[,c2,..]"
     # select a multi-stage cascade (each stage re-decodes the previous
