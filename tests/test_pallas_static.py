@@ -390,3 +390,31 @@ def test_staged_device_tile_b_plumbing():
         code, 8, phase1_iters=3, engine="pallas", tile_b=8)(noisy))
     for a, b in zip(r1, r2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("store_dtype", [
+    pytest.param(jnp.float32, marks=pytest.mark.slow),  # keep suite fast
+    jnp.bfloat16,
+])
+def test_split_decoder_word_exact_vs_monolithic(store_dtype):
+    """The phase-split decoder (ops/pallas_split.py: row/col passes as
+    separate pallas_calls, state in HBM, XLA-level while_loop) must be
+    word-exact to the monolithic flooding kernel — errors, iteration
+    counts, and success flags — including non-converged words (wifi at
+    2.0 dB / 8 iters leaves a large failed set)."""
+    from ldpc_tpu.ops.pallas_split import make_split_sweep_decoder
+
+    code = wifi_code()
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(7), 256,
+                                         code.n, 2.0)
+    mono = make_static_sweep_decoder(code, max_iters=8, tile_b=128,
+                                     store_dtype=store_dtype,
+                                     interpret=True)
+    split = make_split_sweep_decoder(code, max_iters=8, tile_b=128,
+                                     store_dtype=store_dtype,
+                                     interpret=True)
+    a = jax.device_get(mono(noisy))
+    b = jax.device_get(split(noisy))
+    assert int((~np.asarray(a[2]).astype(bool)).sum()) > 0  # failed words
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
