@@ -155,7 +155,8 @@ def _build_kernels(plan: DecodePlan, tile_b: int, store_dtype,
             succo[...] = succi[...]
 
     # ---- kernel C: phase B (totals from compressed state) ----
-    def kernel_c(chan, m1i, m2i, ami, spi, bitsi, succi, totals_o):
+    def kernel_c(totals_i, chan, m1i, m2i, ami, spi, bitsi, succi,
+                 totals_o):
         i_row = jax.lax.broadcasted_iota(i32, (zp, tile_b), 0)
         _rot = _make_rot(i_row)
         all_done = jnp.sum(succi[...]) == tile_b
@@ -175,8 +176,10 @@ def _build_kernels(plan: DecodePlan, tile_b: int, store_dtype,
 
         @pl.when(all_done)
         def _():
+            # converged tile: totals are never read again (kernel R
+            # skips), but the aliased output block must still be written
             for nb in range(nb_n):
-                totals_o[nb] = jnp.zeros((zp, tile_b), sd)
+                totals_o[nb] = totals_i[nb]
 
     # ---- pallas_call wrappers (grid over codeword tiles) ----
     def _plane(n_planes, dtype=sd):
@@ -210,24 +213,31 @@ def _build_kernels(plan: DecodePlan, tile_b: int, store_dtype,
             out_specs=[st_spec, st_spec, st_spec, st_spec, bt_spec,
                        lt_spec, lt_spec, lt_spec],
             out_shape=[st, st, st, st, bt, lt, lt, lt],
+            # in-place state update: without donation XLA promotes the
+            # big loop-carried outputs into scoped VMEM (117 MB stack,
+            # compile-rejected); aliasing keeps them HBM-resident and
+            # halves the state traffic
+            input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 4,
+                                  7: 5, 8: 6, 9: 7},
             compiler_params=params,
             interpret=interpret,
         )(jnp.full((1, 1), it, i32), totals, m1, m2, am, sp, bits,
           err, itr, succ)
 
-    def run_c(chan, m1, m2, am, sp, bits, succ):
+    def run_c(totals, chan, m1, m2, am, sp, bits, succ):
         nprog = chan.shape[0]
         _, _, _, tot = shapes(nprog)
         return pl.pallas_call(
             kernel_c,
             grid=(nprog,),
-            in_specs=[tot_spec, st_spec, st_spec, st_spec, st_spec,
-                      bt_spec, lt_spec],
+            in_specs=[tot_spec, tot_spec, st_spec, st_spec, st_spec,
+                      st_spec, bt_spec, lt_spec],
             out_specs=tot_spec,
             out_shape=tot,
+            input_output_aliases={0: 0},
             compiler_params=params,
             interpret=interpret,
-        )(chan, m1, m2, am, sp, bits, succ)
+        )(totals, chan, m1, m2, am, sp, bits, succ)
 
     return run_r, run_c, (zp, mb_n, nb_n, n_sw)
 
@@ -282,7 +292,7 @@ def make_split_sweep_decoder(code: QCCode, max_iters: int = 50, *,
             it, totals, m1, m2, am, sp, bits, err, itr, succ = c
             m1, m2, am, sp, bits, err, itr, succ = run_r(
                 it, totals, m1, m2, am, sp, bits, err, itr, succ)
-            totals = run_c(chan, m1, m2, am, sp, bits, succ)
+            totals = run_c(totals, chan, m1, m2, am, sp, bits, succ)
             return (it + 1, totals, m1, m2, am, sp, bits, err, itr, succ)
 
         (_, _, _, _, _, _, _, err, itr, succ) = jax.lax.while_loop(
