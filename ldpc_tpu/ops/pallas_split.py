@@ -34,7 +34,7 @@ from .pallas_static import _BIG, _SCHED_BUDGET_KIB, _SCOPED_VMEM_KIB
 
 
 def _build_kernels(plan: DecodePlan, tile_b: int, store_dtype,
-                   max_iters: int, interpret: bool):
+                   interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -182,10 +182,6 @@ def _build_kernels(plan: DecodePlan, tile_b: int, store_dtype,
                 totals_o[nb] = totals_i[nb]
 
     # ---- pallas_call wrappers (grid over codeword tiles) ----
-    def _plane(n_planes, dtype=sd):
-        return pl.BlockSpec((None, n_planes, zp, tile_b),
-                            lambda i: (i, 0, 0, 0)), dtype
-
     tot_spec = pl.BlockSpec((None, nb_n, zp, tile_b), lambda i: (i, 0, 0, 0))
     st_spec = pl.BlockSpec((None, mb_n, zp, tile_b), lambda i: (i, 0, 0, 0))
     bt_spec = pl.BlockSpec((None, mb_n * n_sw, zp, tile_b),
@@ -260,7 +256,7 @@ def make_split_sweep_decoder(code: QCCode, max_iters: int = 50, *,
     if key in _CACHE:
         return _CACHE[key]
     run_r, run_c, (zp, mb_n, nb_n, n_sw) = _build_kernels(
-        plan, tile_b, store_dtype, max_iters, interpret)
+        plan, tile_b, store_dtype, interpret)
     z = plan.z
     sd = jnp.dtype(store_dtype)
     f32, i32 = jnp.float32, jnp.int32
