@@ -8,12 +8,19 @@ are padded with one zero bit after every 511 (-> 8192 bits) and packed with
 ``np.packbits`` into 1024 bytes; the two packed rows are concatenated into a
 2048-byte observation.
 
-The codec generalises to any (Mb, Nb, Z): each Z-bit first row is padded to
-``ceil(Z / 8) * 8`` bits... no — to match the reference the padding must make
-the *row-block* a power-of-two-friendly length.  We keep the reference rule:
-pad each first row with ``pad = row_bits_padded // Nb - Z`` zeros where
-``row_bits_padded = 2 ** ceil(log2(Nb * Z))`` when divisible by Nb, else fall
-back to per-row byte alignment.
+The codec generalises to any (Mb, Nb, Z) while keeping the reference's
+padding RULE rather than plain byte alignment: the reference pads the whole
+block row (Nb * Z bits) up to the next power of two and spreads the padding
+evenly, one equal zero-tail per block (near-earth: 16 * 511 = 8176 -> 8192,
+i.e. one zero bit after each 511-bit first row, ldpc_env.py:379-394).  So
+here a block row is padded to ``2 ** ceil(log2(Nb * Z))`` bits whenever that
+is divisible by Nb (each block then carries ``padded / Nb - Z`` trailing
+zeros — exactly the reference layout for the near-earth shape); when the
+power of two is not divisible by Nb the even spread is impossible and the
+codec falls back to byte-aligning each block's first row independently.
+Either way the padded row-bit count is a multiple of 8, so ``np.packbits``
+never adds bits of its own and ``compress``/``uncompress`` roundtrip for
+every shape (tested against the reference's golden near-earth string).
 """
 
 from __future__ import annotations

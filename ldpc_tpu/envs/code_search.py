@@ -117,7 +117,6 @@ class LdpcCodeSearchEnv:
         self.scatter_snr = self.snr_points.copy()
         self.scatter_ber = np.ones(len(self.snr_points))
         self.observed_state = obs
-        self._decode_cache = {}
 
     # ------------------------------------------------------------------
     def _decode_batched(self, code: QCCode, llr):

@@ -156,8 +156,11 @@ def _check_node_update(v: jax.Array, valid: jax.Array, kind: str,
 
 
 # DecodePlan holds ndarrays (unhashable), so the build cache is keyed on the
-# plan's structural bytes (plan.cache_key()) in a plain dict.
-_BUILD_CACHE: dict = {}
+# plan's structural bytes (plan.cache_key()); LRU-bounded so a long RL
+# search mutating codes across shape families cannot leak executables.
+from ..utils.cache import BoundedCache
+
+_BUILD_CACHE: dict = BoundedCache(64)
 
 
 def _build(plan: DecodePlan, max_iters: int, kind: str, alpha, beta,

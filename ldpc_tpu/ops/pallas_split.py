@@ -238,7 +238,9 @@ def _build_kernels(plan: DecodePlan, tile_b: int, store_dtype,
     return run_r, run_c, (zp, mb_n, nb_n, n_sw)
 
 
-_CACHE: dict = {}
+from ..utils.cache import BoundedCache
+
+_CACHE: dict = BoundedCache(16)
 
 
 def make_split_sweep_decoder(code: QCCode, max_iters: int = 50, *,

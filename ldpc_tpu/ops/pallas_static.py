@@ -136,14 +136,34 @@ def _barrier_lowers() -> bool:
             a, b = jax.lax.optimization_barrier((a, b))
             o_ref[...] = a + b
 
+        x = np.linspace(-1.0, 1.0, 8 * 128,
+                        dtype=np.float32).reshape(8, 128)
         try:
-            jax.block_until_ready(pl.pallas_call(
+            got = jax.device_get(pl.pallas_call(
                 probe,
                 out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
-                    jnp.zeros((8, 128), jnp.float32)))
-            _BARRIER_OK = True
-        except Exception:
-            _BARRIER_OK = False
+                    jnp.asarray(x)))
+            # value-exactness assertion (the old sched_ab preflight): a
+            # barrier that lowers but corrupts values must NOT be chosen.
+            _BARRIER_OK = bool(np.array_equal(got, x + np.abs(x)))
+        except Exception as e:  # noqa: BLE001 — classified below
+            msg = f"{type(e).__name__}: {e}"
+            lowering = isinstance(e, NotImplementedError) or any(
+                s in msg for s in ("lower", "Lower", "Mosaic", "mosaic",
+                                   "not implemented", "Unsupported",
+                                   "unsupported"))
+            if lowering:
+                _BARRIER_OK = False  # barrier doesn't lower: cache it
+            else:
+                # transient device/tunnel error — do NOT cache a verdict
+                # (the mul-0 fallback is value-exact, so failing open for
+                # THIS call is safe; the next call re-probes)
+                import warnings
+                warnings.warn(
+                    "optimization_barrier probe failed with a non-lowering "
+                    f"error ({msg[:200]}); using the mul-0 gate for this "
+                    "call without caching the verdict")
+                return False
     return _BARRIER_OK
 
 
@@ -640,7 +660,12 @@ def _build_kernel(plan: DecodePlan, max_iters: int, tile_b: int,
     return call
 
 
-_CACHE: dict = {}
+from ..utils.cache import BoundedCache
+
+# LRU-bounded: pallas executables are the heaviest artifacts in the
+# process (minutes of compile, MBs of constants); a long search across
+# shape families must not pin every stale one (advisor r3).
+_CACHE: dict = BoundedCache(16)
 
 
 def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
@@ -745,6 +770,18 @@ def make_static_sweep_decoder(code: QCCode, max_iters: int = 50, *,
         b = llr.shape[0]
         if b % tile_b:
             raise ValueError(f"batch {b} not a multiple of tile_b={tile_b}")
+        # Sanitize non-finite LLRs at kernel entry (advisor r3): a user-
+        # supplied +-inf (punctured/known bits) would otherwise reach the
+        # dep_stride mul-0 gate as inf * 0.0 = NaN — and since the gate
+        # choice is toolchain-dependent ("auto" probes the barrier), the
+        # same config would be exact on one jaxlib and NaN-producing on
+        # another.  NaN -> 0 (erasure), +-inf -> +-1e30: a magnitude
+        # beyond any real channel LLR yet small enough that no fold or
+        # totals accumulation (<= ~60 terms) can overflow f32.  Finite
+        # inputs below 1e30 — every real channel — are untouched, so the
+        # bit-exactness contracts vs the XLA engine are unaffected.
+        llr = jnp.clip(jnp.nan_to_num(llr, nan=0.0, posinf=1e30,
+                                      neginf=-1e30), -1e30, 1e30)
         if jnp.issubdtype(sd, jnp.integer):
             hi = float(np.iinfo(sd.type).max)
             llr = jnp.clip(jnp.round(llr.astype(jnp.float32) *

@@ -317,7 +317,9 @@ def _staged_core_builder(code: QCCode, max_iters: int, *,
 from ..utils.device import on_tpu_hardware as _on_tpu_hardware  # noqa: E402
 
 
-_COUNTS_CACHE: dict = {}
+from ..utils.cache import BoundedCache  # noqa: E402
+
+_COUNTS_CACHE: dict = BoundedCache(64)
 
 
 def _counts_fn(code: QCCode, max_iters: int, kind: str, dtype_name: str,

@@ -77,6 +77,12 @@ def main():
     exact = all(np.array_equal(a, b) for a, b in zip(ref, got))
     print(f"shared-input exactness: "
           f"{'WORD-EXACT' if exact else 'MISMATCH'}", flush=True)
+    if not exact:
+        # Same gate as sched_ab: a broken split kernel must not produce
+        # a citable timing artifact (advisor r3).
+        print("ABORTING: timing is only meaningful for a word-exact "
+              "variant; fix the split kernel first", flush=True)
+        sys.exit(1)
 
     times = {n: [] for n in decs}
     for t in range(args.trials):
@@ -102,12 +108,17 @@ def main():
               f"vs mono: {b/min(times['mono']):.3f}x")
 
     if args.out and not args.interpret:
-        from ldpc_tpu.utils.provenance import kernel_source_hash
+        from ldpc_tpu.utils.provenance import (kernel_source_hash,
+                                               source_file_hash)
         art = {
             "context": {"batch": args.batch, "mi": args.mi,
                         "snr": args.snr, "code": args.code,
                         "store": args.store},
             "kernel_hash": kernel_source_hash(),
+            # pallas_split.py is not in _KERNEL_SOURCES (adding it would
+            # invalidate the recorded adoption artifacts), so the split
+            # half of this A/B stamps its own hash (advisor r3)
+            "split_kernel_hash": source_file_hash("ops/pallas_split.py"),
             "word_exact": bool(exact),
             "best_ms": {n: round(min(times[n]) * 1e3, 2) for n in decs},
             "speedup_split_vs_mono": round(

@@ -418,3 +418,25 @@ def test_split_decoder_word_exact_vs_monolithic(store_dtype):
     assert int((~np.asarray(a[2]).astype(bool)).sum()) > 0  # failed words
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_nonfinite_llr_sanitized(wifi):
+    """+-inf / NaN channel LLRs are sanitized at kernel entry (advisor
+    r3): the corrupted word decodes to FINITE outputs and every other
+    word's trajectory is bit-identical to the clean-batch decode (lanes
+    are independent)."""
+    noisy, _, _ = transmit_zero_codeword(jax.random.key(11), 4, wifi.n, 3.0)
+    dec = make_static_sweep_decoder(wifi, max_iters=8, tile_b=4,
+                                    store_dtype=jnp.float32,
+                                    interpret=True)
+    clean = [np.asarray(x) for x in dec(noisy)]
+    bad = np.asarray(noisy).copy()
+    bad[0, 0] = np.inf
+    bad[0, 1] = -np.inf
+    bad[0, 2] = np.nan
+    got = [np.asarray(x) for x in dec(jnp.asarray(bad))]
+    for g in got:
+        assert np.all(np.isfinite(g))
+    for c, g in zip(clean, got):
+        assert np.array_equal(c[1:], g[1:])  # untouched words unchanged

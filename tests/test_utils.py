@@ -103,3 +103,15 @@ def test_cli_evaluate_sharded(capsys):
     summary = json.loads(out.out.strip().splitlines()[-1])
     assert summary["transmissions"] >= 8
     assert summary["ber"][0] <= 1e-2
+
+
+def test_bounded_cache_lru():
+    from ldpc_tpu.utils.cache import BoundedCache
+    c = BoundedCache(maxsize=2)
+    c["a"] = 1
+    c["b"] = 2
+    assert c.get("a") == 1          # refreshes recency of "a"
+    c["c"] = 3                      # evicts "b" (least recently used)
+    assert "b" not in c and c["a"] == 1 and c["c"] == 3
+    assert len(c) == 2
+    assert c.get("missing") is None
