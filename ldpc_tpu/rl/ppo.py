@@ -15,6 +15,28 @@ gradients replaces ``mpi_avg_grads`` (mpi_pytorch.py:20-27).  The rollout
 loop is host-driven because each env step runs a Monte-Carlo decode on the
 accelerator already (see ``envs/code_search.py``).
 
+Data-parallel rollout (the reference's headline ``mpi_fork(args.cpu)``
+training mode, mpi_tools.py:6-39 + buffer.py:110-181): ``num_envs > 1``
+drives an :class:`~ldpc_tpu.envs.vector.EnvironmentVector` — one
+PPOBuffer per env merged by :class:`BufferContainer` at update time.
+Action sampling is a single vmapped dispatch over per-env PRNG keys, so
+per-env action/reward streams are IDENTICAL to stepping the same envs
+sequentially with the same keys (each env also draws channel noise from
+its own RandomState).  With ``env_mesh`` the candidate decodes of one
+vector step shard over devices (the reference's one-env-per-GPU,
+envContainer.py:10-27, without process pools).
+
+Advantage normalization uses globally-reduced statistics when the JAX
+runtime is multi-process (``statistics_scalar(distributed=True)``), the
+``mpi_statistics_scalar`` contract of the reference (buffer.py:97).
+
+Checkpoints (every ``save_freq`` epochs and at the end) hold the FULL
+training state — params, both optimizer states, the PRNG key, every env's
+code/budgets/RandomState, per-env episode accumulators and the current
+observations — so ``ppo(..., resume=True)`` continues an interrupted
+search exactly where it stopped (the reference saves a pickle but has no
+resume logic, openAIppo.py:507-508 / SURVEY.md §5).
+
 The reference's known-broken tail (a live debug ``env.step`` inside
 ``update()``, openAIppo.py:399) is intentionally not reproduced.
 """
@@ -23,15 +45,15 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..utils.logging import EpochLogger, TsvLogger
-from .buffer import PPOBuffer
+from ..utils.logging import EpochLogger, TsvLogger, statistics_scalar
+from .buffer import BufferContainer
 from .model import (Actor, ActorCriticConfig, Critic, action_to_env_action,
                     evaluate_actions, init_params, sample_step)
 
@@ -40,8 +62,8 @@ __all__ = ["PPOConfig", "ppo", "make_update_fns"]
 
 @dataclasses.dataclass
 class PPOConfig:
-    steps_per_epoch: int = 64      # openAIppo.py:137
-    epochs: int = 50
+    steps_per_epoch: int = 64      # PER ENV (openAIppo.py:137; an epoch
+    epochs: int = 50               # collects num_envs * steps_per_epoch)
     gamma: float = 0.99
     clip_ratio: float = 0.2
     pi_lr: float = 3e-4
@@ -124,38 +146,113 @@ def make_update_fns(cfg: ActorCriticConfig, ppo_cfg: PPOConfig,
     return pi_opt, vf_opt, pi_update, v_update
 
 
-def ppo(env_fn: Callable, ppo_cfg: PPOConfig | None = None,
-        ac_cfg: ActorCriticConfig | None = None, *, mesh=None,
+def _env_checkpoint_state(envs, obs, ep_ret, ep_len) -> dict:
+    """Pytree-of-arrays snapshot of every env's full mutable state."""
+    rows = np.stack([np.asarray(e.state.first_rows()) for e in envs])
+    rstates = [e.rng.get_state() for e in envs]
+    return {
+        "first_rows": rows.astype(np.int32),
+        "acc_time": np.array([e.accumulated_evaluation_time for e in envs],
+                             np.float64),
+        "acc_iters": np.array([e.accumulated_iterations for e in envs],
+                              np.int64),
+        # numpy MT19937 state: ('MT19937', keys[624] u32, pos, has_gauss,
+        # cached_gaussian) — stored as plain arrays
+        "rng_keys": np.stack([s[1] for s in rstates]).astype(np.uint32),
+        "rng_pos": np.array([s[2] for s in rstates], np.int64),
+        "rng_has_gauss": np.array([s[3] for s in rstates], np.int64),
+        "rng_cached": np.array([s[4] for s in rstates], np.float64),
+        "obs": np.asarray(obs, np.float32),
+        "ep_ret": np.asarray(ep_ret, np.float64),
+        "ep_len": np.asarray(ep_len, np.int64),
+    }
+
+
+def _restore_env_state(envs, st) -> tuple:
+    """Inverse of :func:`_env_checkpoint_state`; returns (obs, ep_ret,
+    ep_len)."""
+    from ..codes.qc import QCCode
+
+    for i, e in enumerate(envs):
+        ref = e.reset_value
+        e.state = QCCode.from_first_rows(
+            np.asarray(st["first_rows"][i]), name=ref.name,
+            message_size=ref.message_size)
+        e.accumulated_evaluation_time = float(st["acc_time"][i])
+        e.accumulated_iterations = int(st["acc_iters"][i])
+        e.rng.set_state(("MT19937",
+                         np.asarray(st["rng_keys"][i], np.uint32),
+                         int(st["rng_pos"][i]),
+                         int(st["rng_has_gauss"][i]),
+                         float(st["rng_cached"][i])))
+        e.observed_state = e.compress()
+    return (np.asarray(st["obs"], np.float32),
+            np.asarray(st["ep_ret"], np.float64).copy(),
+            np.asarray(st["ep_len"], np.int64).copy())
+
+
+def ppo(env_fn: Callable | Sequence[Callable],
+        ppo_cfg: PPOConfig | None = None,
+        ac_cfg: ActorCriticConfig | None = None, *, num_envs: int = 1,
+        mesh=None, env_mesh=None, env_batched: bool | None = None,
         logger: EpochLogger | None = None, output_dir=None,
-        checkpoint_dir=None, deterministic_eval: bool = False):
+        checkpoint_dir=None, resume: bool = False,
+        deterministic_eval: bool = False):
     """Run PPO; returns (actor_params, critic_params, logger).
 
-    ``env_fn() -> env`` with the LdpcCodeSearchEnv interface
-    (reset/step/action_space/observation_space), like the reference's
-    ``gym.make`` thunk (openAIppo.py:573).
+    ``env_fn`` is a thunk ``() -> env`` with the LdpcCodeSearchEnv
+    interface, like the reference's ``gym.make`` thunk (openAIppo.py:573),
+    or a sequence of such thunks (one per env).  With a single thunk and
+    ``num_envs > 1`` the envs are replicas reseeded ``seed + 10000 * i``
+    — the reference's per-rank seeding (openAIppo.py:264).
+
+    ``num_envs`` parallel envs collect ``num_envs * steps_per_epoch``
+    transitions per epoch through an EnvironmentVector (``env_mesh`` /
+    ``env_batched`` forwarded — a mesh shards one vector step's candidate
+    decodes over devices); ``mesh`` shards the UPDATE batch.
+
+    ``resume=True`` restores the latest checkpoint in ``checkpoint_dir``
+    (params, optimizer states, PRNG key, env states, episode accumulators)
+    and continues from the next epoch; pass a logger/output_dir opened in
+    append mode to keep one contiguous progress/steps log.
     """
     ppo_cfg = ppo_cfg or PPOConfig()
-    env = env_fn()
-    obs_dim = env.observation_space.shape[0]
+    from ..envs.vector import EnvironmentVector
+    if callable(env_fn):
+        env_fns = [env_fn] * num_envs
+        reseed = num_envs > 1
+    else:
+        env_fns = list(env_fn)
+        num_envs = len(env_fns)
+        reseed = False
+    vec = EnvironmentVector(env_fns, batched=env_batched, mesh=env_mesh)
+    if reseed:
+        base = getattr(vec.envs[0], "seed_value", ppo_cfg.seed)
+        vec.seed([base + 10000 * i for i in range(num_envs)])
+    env0 = vec.envs[0]
+    obs_dim = vec.observation_space.shape[0]
     if ac_cfg is None:
         ac_cfg = ActorCriticConfig(
             obs_dim=obs_dim,
-            row_range=env.state.block_rows,
-            col_range=env.state.block_cols,
-            z=env.z)
-    logger = logger or EpochLogger(output_dir=output_dir, exp_name="ppo")
-    logger.save_config({"ppo": dataclasses.asdict(ppo_cfg),
-                        "model": dataclasses.asdict(ac_cfg)})
+            row_range=env0.state.block_rows,
+            col_range=env0.state.block_cols,
+            z=env0.z)
+    logger = logger or EpochLogger(output_dir=output_dir, exp_name="ppo",
+                                   append=resume)
+    if not resume:
+        logger.save_config({"ppo": dataclasses.asdict(ppo_cfg),
+                            "model": dataclasses.asdict(ac_cfg),
+                            "num_envs": num_envs})
     # Per-step TSV: the experiment.txt equivalent consumed by
     # analysis.postprocess (postProcessing.py:27-49 reads Reward,
     # Observation, epochNumber, i/j/kAction).  Observations are stored as
     # hex so post-mortem can uncompress the exact visited codes.
     tsv = TsvLogger(
-        ["epoch", "step", "reward", "value", "logp", "i", "j", "k",
+        ["epoch", "step", "env", "reward", "value", "logp", "i", "j", "k",
          "observation_hex"],
         path=(None if logger.output_dir is None
               else logger.output_dir / "steps.tsv"),
-        print_rows=False)
+        print_rows=False, append=resume)
 
     rng = jax.random.key(ppo_cfg.seed)
     actor_params, critic_params = init_params(ac_cfg, ppo_cfg.seed)
@@ -164,58 +261,123 @@ def ppo(env_fn: Callable, ppo_cfg: PPOConfig | None = None,
     pi_opt_state = pi_opt.init(actor_params)
     vf_opt_state = vf_opt.init(critic_params)
 
-    sample_jit = jax.jit(
-        lambda ap, cp, obs, key: sample_step(ac_cfg, ap, cp, obs, key))
+    # One vmapped dispatch samples every env's action from ITS OWN key —
+    # per-env draws identical to sequential per-env sampling.
+    def _sample_one(ap, cp, obs1, key):
+        ba, v, logp, ent = sample_step(ac_cfg, ap, cp, obs1[None], key,
+                                       deterministic=deterministic_eval)
+        return ba[0], v[0], logp[0], ent[0]
+
+    sample_vec = jax.jit(jax.vmap(_sample_one, in_axes=(None, None, 0, 0)))
     critic_apply = jax.jit(
         lambda cp, obs: Critic(ac_cfg).apply(cp, obs))
 
-    buf = PPOBuffer(obs_dim, ac_cfg.buffer_action_dim,
-                    ppo_cfg.steps_per_epoch, ppo_cfg.gamma, ppo_cfg.lam,
-                    num_entropy_heads=ac_cfg.num_entropy_heads)
+    bufs = BufferContainer(obs_dim, ac_cfg.buffer_action_dim,
+                           ppo_cfg.steps_per_epoch, num_envs,
+                           ppo_cfg.gamma, ppo_cfg.lam,
+                           num_entropy_heads=ac_cfg.num_entropy_heads)
+
+    # Cross-process advantage normalization (buffer.py:97 ->
+    # mpi_statistics_scalar): global when the runtime is multi-process,
+    # local otherwise.  Safe here because every process runs the same
+    # epoch loop (symmetric collective).
+    def stat_fn(a):
+        return statistics_scalar(a, distributed=jax.process_count() > 1)
+
+    start_epoch = 0
+    obs = vec.reset().astype(np.float32)
+    ep_ret = np.zeros(num_envs, np.float64)
+    ep_len = np.zeros(num_envs, np.int64)
+
+    if resume:
+        if checkpoint_dir is None:
+            raise ValueError("resume=True needs a checkpoint_dir")
+        from ..utils.checkpoint import restore_checkpoint
+        template = {
+            "actor": jax.device_get(actor_params),
+            "critic": jax.device_get(critic_params),
+            "pi_opt": jax.device_get(pi_opt_state),
+            "vf_opt": jax.device_get(vf_opt_state),
+            "rng": np.asarray(jax.random.key_data(rng)),
+            "epoch": np.asarray(0, np.int64),
+            "code_first_rows": np.asarray(env0.state.first_rows()),
+            "env": _env_checkpoint_state(vec.envs, obs, ep_ret, ep_len),
+        }
+        state = restore_checkpoint(checkpoint_dir, template=template)
+        actor_params = state["actor"]
+        critic_params = state["critic"]
+        pi_opt_state = state["pi_opt"]
+        vf_opt_state = state["vf_opt"]
+        rng = jax.random.wrap_key_data(jnp.asarray(state["rng"]))
+        obs, ep_ret, ep_len = _restore_env_state(vec.envs, state["env"])
+        start_epoch = int(state["epoch"]) + 1
+        logger.log(f"Resumed from epoch {int(state['epoch'])} in "
+                   f"{checkpoint_dir}")
+
+    def save(epoch):
+        from ..utils.checkpoint import save_checkpoint
+        save_checkpoint(checkpoint_dir, epoch, {
+            "actor": jax.device_get(actor_params),
+            "critic": jax.device_get(critic_params),
+            "pi_opt": jax.device_get(pi_opt_state),
+            "vf_opt": jax.device_get(vf_opt_state),
+            "rng": np.asarray(jax.random.key_data(rng)),
+            "epoch": np.asarray(epoch, np.int64),
+            # env 0's code alone, for legacy post-mortem consumers
+            "code_first_rows": np.asarray(vec.envs[0].state.first_rows()),
+            "env": _env_checkpoint_state(vec.envs, obs, ep_ret, ep_len),
+        })
 
     start_time = time.time()
-    obs = env.reset().astype(np.float32)
-    ep_ret, ep_len = 0.0, 0
 
-    for epoch in range(ppo_cfg.epochs):
+    for epoch in range(start_epoch, ppo_cfg.epochs):
         for t in range(ppo_cfg.steps_per_epoch):
             rng, key = jax.random.split(rng)
-            ba, v, logp, ent_heads = jax.device_get(sample_jit(
-                actor_params, critic_params, obs[None], key))
-            ba, v, logp, ent_heads = ba[0], float(v[0]), float(logp[0]), \
-                np.asarray(ent_heads[0])
-            env_action = action_to_env_action(ac_cfg, ba)
-            next_obs, reward, done, info = env.step(env_action)
-            ep_ret += reward
+            keys = jax.random.split(key, num_envs)
+            ba, v, logp, ent_heads = jax.device_get(sample_vec(
+                actor_params, critic_params, jnp.asarray(obs), keys))
+            env_actions = [action_to_env_action(ac_cfg, ba[e])
+                           for e in range(num_envs)]
+            next_obs, rewards, dones, infos = vec.step(env_actions)
+            ep_ret += rewards
             ep_len += 1
-            buf.store(obs, ba, reward, v, logp, float(ent_heads.sum()),
-                      ent_heads)
-            logger.store(VVals=v, Reward=reward,
-                         IEntropy=float(ent_heads[0]),
-                         JEntropy=float(ent_heads[1]),
-                         KEntropy=float(ent_heads[2]))
-            tsv.log(epoch=epoch, step=t, reward=reward, value=v, logp=logp,
-                    i=int(ba[0]), j=int(ba[1]), k=int(ba[2]),
-                    observation_hex=bytes(
-                        np.asarray(next_obs, np.uint8)).hex())
+            for e in range(num_envs):
+                bufs[e].store(obs[e], ba[e], rewards[e], float(v[e]),
+                              float(logp[e]), float(ent_heads[e].sum()),
+                              ent_heads[e])
+                logger.store(VVals=float(v[e]), Reward=float(rewards[e]),
+                             IEntropy=float(ent_heads[e][0]),
+                             JEntropy=float(ent_heads[e][1]),
+                             KEntropy=float(ent_heads[e][2]))
+                tsv.log(epoch=epoch, step=t, env=e,
+                        reward=float(rewards[e]), value=float(v[e]),
+                        logp=float(logp[e]), i=int(ba[e][0]),
+                        j=int(ba[e][1]), k=int(ba[e][2]),
+                        observation_hex=bytes(
+                            np.asarray(next_obs[e], np.uint8)).hex())
             obs = next_obs.astype(np.float32)
 
-            timeout = ep_len == ppo_cfg.max_ep_len
-            terminal = done or timeout
+            timeouts = ep_len == ppo_cfg.max_ep_len
             epoch_ended = t == ppo_cfg.steps_per_epoch - 1
-            if terminal or epoch_ended:
-                if timeout or epoch_ended:
-                    last_v = float(jax.device_get(
-                        critic_apply(critic_params, obs[None]))[0])
-                else:
-                    last_v = 0.0
-                buf.finish_path(last_v)
-                if terminal:
-                    logger.store(EpRet=ep_ret, EpLen=ep_len)
-                    obs = env.reset().astype(np.float32)
-                    ep_ret, ep_len = 0.0, 0
+            if dones.any() or timeouts.any() or epoch_ended:
+                last_vs = np.asarray(jax.device_get(
+                    critic_apply(critic_params, jnp.asarray(obs))))
+                for e in range(num_envs):
+                    terminal = bool(dones[e]) or bool(timeouts[e])
+                    if not (terminal or epoch_ended):
+                        continue
+                    # bootstrap on truncation, zero on true termination
+                    # (openAIppo.py:471-483 semantics)
+                    last_v = (float(last_vs[e])
+                              if (timeouts[e] or epoch_ended) else 0.0)
+                    bufs[e].finish_path(last_v)
+                    if terminal:
+                        logger.store(EpRet=float(ep_ret[e]),
+                                     EpLen=int(ep_len[e]))
+                        obs[e] = vec.envs[e].reset().astype(np.float32)
+                        ep_ret[e], ep_len[e] = 0.0, 0
 
-        data = buf.get()
+        data = bufs.get(stat_fn=stat_fn)
         obs_b = jnp.asarray(data["obs"])
         act_b = jnp.asarray(data["act"])
         adv_b = jnp.asarray(data["adv"])
@@ -243,13 +405,7 @@ def ppo(env_fn: Callable, ppo_cfg: PPOConfig | None = None,
         if checkpoint_dir is not None and (
                 epoch % ppo_cfg.save_freq == 0 or
                 epoch == ppo_cfg.epochs - 1):
-            from ..utils.checkpoint import save_checkpoint
-            save_checkpoint(checkpoint_dir, epoch, {
-                "actor": jax.device_get(actor_params),
-                "critic": jax.device_get(critic_params),
-                "code_first_rows": env.state.first_rows(),
-                "epoch": np.int64(epoch),
-            })
+            save(epoch)
 
         logger.log_tabular("Epoch", epoch)
         logger.log_tabular("EpRet", with_min_and_max=True)
@@ -265,7 +421,7 @@ def ppo(env_fn: Callable, ppo_cfg: PPOConfig | None = None,
         logger.log_tabular("ClipFrac", float(extras["clipfrac"]))
         logger.log_tabular("StopIter", stop_iter)
         logger.log_tabular("TotalEnvInteracts",
-                           (epoch + 1) * ppo_cfg.steps_per_epoch)
+                           (epoch + 1) * ppo_cfg.steps_per_epoch * num_envs)
         logger.log_tabular("Time", time.time() - start_time)
         logger.dump_tabular()
 

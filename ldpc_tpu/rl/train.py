@@ -77,6 +77,14 @@ def main(argv=None):
                              "ldpc_env.py:88; e.g. 3.0 3.2 3.4 3.6 3.8 "
                              "searches the reference's wide reward window, "
                              "postProcessing.py:18)")
+    parser.add_argument("--num_envs", "--cpu", type=int, default=1,
+                        help="parallel rollout envs (the reference's "
+                             "mpi_fork rank count, openAIppo.py:564; "
+                             "replicas are reseeded seed + 10000*i)")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore the latest checkpoint (params, "
+                             "optimizer states, PRNG key, env states) and "
+                             "continue; progress/steps logs are appended")
     args = parser.parse_args(argv)
 
     from ..envs.code_search import LdpcCodeSearchEnv
@@ -90,11 +98,11 @@ def main(argv=None):
     logger = EpochLogger(
         output_dir=f"{args.data_dir}/{args.exp_name}/"
                    f"{args.exp_name}_s{args.seed}",
-        exp_name=args.exp_name)
+        exp_name=args.exp_name, append=args.resume)
     env_kw = {} if args.snr is None else {"snr_points": tuple(args.snr)}
     return ppo(lambda: LdpcCodeSearchEnv(
         seed=args.seed, num_transmissions=args.num_transmissions, **env_kw),
-        ppo_cfg, logger=logger,
+        ppo_cfg, logger=logger, num_envs=args.num_envs, resume=args.resume,
         checkpoint_dir=f"{args.data_dir}/{args.exp_name}/checkpoints")
 
 

@@ -29,12 +29,13 @@ import numpy as np
 
 from ..codes.qc import QCCode
 from ..ops.decoder import decoder_for_code
-from .channel import awgn, epsilon_probe, llr_from_channel, snr_db_to_sigma
+from .channel import (awgn, epsilon_probe, llr_from_channel, modulate,
+                      slicer, snr_db_to_sigma)
 from .stats import BerStatistics
 
 __all__ = ["evaluate_code", "evaluate_epsilon_probe", "sweep_step",
-           "staged_decode_counts", "make_staged_decoder_device",
-           "make_staged_sweep_device"]
+           "random_codeword_sweep_step", "staged_decode_counts",
+           "make_staged_decoder_device", "make_staged_sweep_device"]
 
 
 def staged_decode_counts(code: QCCode, llr, max_iters: int = 50, *,

@@ -34,15 +34,24 @@ def save_checkpoint(directory, step: int, state: dict) -> None:
         mgr.wait_until_finished()
 
 
-def restore_checkpoint(directory, step: int | None = None) -> dict:
-    """Restore the given (default: latest) step's state dict."""
+def restore_checkpoint(directory, step: int | None = None,
+                       template=None) -> dict:
+    """Restore the given (default: latest) step's state dict.
+
+    ``template``: a pytree of arrays with the structure the caller wants
+    back (e.g. freshly initialised optimizer states).  Without it, orbax
+    returns plain nested dicts/lists, which cannot be fed back into optax
+    — pass the template to restore NamedTuple-structured states intact.
+    """
     import orbax.checkpoint as ocp
     with _mgr(directory) as mgr:
         if step is None:
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {directory}")
-        return mgr.restore(step)
+        if template is None:
+            return mgr.restore(step)
+        return mgr.restore(step, args=ocp.args.StandardRestore(template))
 
 
 def latest_step(directory) -> int | None:

@@ -89,7 +89,8 @@ class TsvLogger:
     keys up front, log rows as dicts, rows go to a TSV file and a colored
     console line; silent on non-chief processes."""
 
-    def __init__(self, keys, path=None, print_rows: bool = True):
+    def __init__(self, keys, path=None, print_rows: bool = True,
+                 append: bool = False):
         self.keys = list(keys)
         self.print_rows = print_rows
         self.active = _is_chief()
@@ -97,8 +98,18 @@ class TsvLogger:
         if path is not None and self.active:
             self.path = pathlib.Path(path)
             self.path.parent.mkdir(parents=True, exist_ok=True)
-            with open(self.path, "w") as f:
-                f.write("\t".join(self.keys) + "\n")
+            # append=True continues an existing file (resumed training
+            # keeps one contiguous steps.tsv); header only when starting
+            # fresh
+            if append and self.path.exists() and self.path.stat().st_size:
+                header = self.path.read_text().splitlines()[0].split("\t")
+                if header != self.keys:
+                    raise ValueError(
+                        f"cannot append to {self.path}: header {header} "
+                        f"!= keys {self.keys}")
+            else:
+                with open(self.path, "w") as f:
+                    f.write("\t".join(self.keys) + "\n")
 
     def log(self, **row):
         if not self.active:
@@ -124,11 +135,15 @@ class EpochLogger:
     """
 
     def __init__(self, output_dir=None, output_fname: str = "progress.txt",
-                 exp_name: str | None = None, distributed: bool = True):
+                 exp_name: str | None = None, distributed: bool = True,
+                 append: bool = False):
         # distributed=True: log_tabular aggregates across hosts (safe here
         # because the RL loops call log_tabular with identical key
         # sequences on every process — the reference's mpi_statistics_
         # scalar contract, logx.py:311-396).
+        # append=True continues an existing progress.txt (resumed
+        # training); headers are read back from the file so the column
+        # schema stays consistent across the resume boundary.
         self.distributed = distributed
         self.active = _is_chief()
         self.exp_name = exp_name
@@ -142,7 +157,14 @@ class EpochLogger:
             self.output_dir = pathlib.Path(
                 output_dir or f"/tmp/experiments/{int(time.time())}")
             self.output_dir.mkdir(parents=True, exist_ok=True)
-            self.output_file = open(self.output_dir / output_fname, "w")
+            path = self.output_dir / output_fname
+            if append and path.exists() and path.stat().st_size:
+                self.log_headers = path.read_text().splitlines()[0].split(
+                    "\t")
+                self.first_row = False
+                self.output_file = open(path, "a")
+            else:
+                self.output_file = open(path, "w")
             print(colorize(f"Logging data to {self.output_file.name}",
                            "green", bold=True))
 

@@ -63,6 +63,29 @@ def main():
     mean, std, lo, hi = statistics_scalar(local_vals, with_min_and_max=True,
                                           distributed=True)
 
+    # --- distributed advantage normalization (VERDICT r3 #4): with
+    # per-process reward distributions that DIFFER, the buffer's
+    # normalized advantages must use the GLOBAL mean/std — i.e. differ
+    # from what local normalization would produce (the reference's
+    # mpi_statistics_scalar path, buffer.py:97) ---
+    import numpy as np
+
+    from ldpc_tpu.rl.buffer import PPOBuffer
+    buf = PPOBuffer(obs_dim=2, act_dim=3, size=3, gamma=1.0, lam=1.0,
+                    num_entropy_heads=2)
+    for r in local_vals:   # rewards 0,1,2 on pid 0; 10,11,12 on pid 1
+        buf.store(np.zeros(2), np.zeros(3), r, 0.0, -1.0, 0.0, np.zeros(2))
+    buf.finish_path(0.0)
+    raw_adv = buf.adv_buf.copy()   # suffix sums of rewards (gamma=lam=1)
+    data = buf.get(stat_fn=lambda a: statistics_scalar(
+        a, distributed=True))
+    local_mean, local_std = float(raw_adv.mean()), float(raw_adv.std())
+    local_norm = (raw_adv - local_mean) / max(local_std, 1e-8)
+    adv_norm = [float(x) for x in data["adv"]]
+    assert not np.allclose(adv_norm, local_norm), (
+        "distributed normalization must differ from local when the "
+        "per-process reward distributions differ")
+
     # --- EpochLogger end-to-end: chief-only output, symmetric collectives
     from ldpc_tpu.utils.logging import EpochLogger
     logger = EpochLogger(output_dir=f"/tmp/ldpc_multihost_test_{port}_{pid}")
@@ -79,6 +102,8 @@ def main():
         "fer": summary["fer"],
         "avg_iterations": summary["avg_iterations"],
         "stat": [mean, std, lo, hi],
+        "raw_adv": [float(x) for x in raw_adv],
+        "adv_norm": adv_norm,
     }))
 
 

@@ -58,3 +58,11 @@ def test_two_process_distributed_runtime():
     assert lo == 0.0 and hi == 12.0
     # population std of {0,1,2,10,11,12}: sqrt(370/6 - 36)
     assert std == pytest.approx((370 / 6 - 36) ** 0.5, rel=1e-6)
+    # distributed advantage normalization (VERDICT r3 #4): both
+    # processes' normalized advantages must come from the GLOBAL
+    # mean/std of the combined raw advantages
+    import numpy as np
+    raw = np.array(a["raw_adv"] + b["raw_adv"])
+    gmean, gstd = raw.mean(), raw.std()
+    np.testing.assert_allclose(   # adv buffer is float32
+        a["adv_norm"] + b["adv_norm"], (raw - gmean) / gstd, rtol=1e-5)

@@ -150,3 +150,94 @@ def test_ppo_end_to_end_tiny(tmp_path):
     state = restore_checkpoint(tmp_path / "ckpt")
     assert state["epoch"] == 1
     assert state["code_first_rows"].shape == (4, 24, 81)
+
+
+def _tiny_env_fn(seed=1):
+    from ldpc_tpu.envs import LdpcCodeSearchEnv
+    return lambda: LdpcCodeSearchEnv(
+        code=wifi_code(), snr_points=(3.0, 3.5), num_transmissions=2,
+        num_iterations=5, seed=seed, dmax_cn_cap=32, dmax_vn_cap=12)
+
+
+_TINY_AC = dict(hidden=16, row_range=4, col_range=24, z=81, max_hot=4)
+
+
+def test_ppo_vector_rollout_matches_sequential(tmp_path):
+    """num_envs=2 parallel rollout (VERDICT r3 #1): fills 2 x steps
+    transitions, and each env's (action, reward) stream is IDENTICAL to
+    stepping the same envs sequentially with the same per-env keys and
+    seeds (the reference's mpi_fork N-rank rollout, mpi_tools.py:6-39)."""
+    ppo_cfg = PPOConfig(steps_per_epoch=3, epochs=1, train_pi_iters=0,
+                        train_v_iters=0, seed=5)
+    env_fn = _tiny_env_fn(seed=3)
+    ac_cfg = ActorCriticConfig(obs_dim=env_fn().observation_space.shape[0],
+                               **_TINY_AC)
+    ppo(env_fn, ppo_cfg, ac_cfg, num_envs=2, output_dir=tmp_path / "vec")
+    rows = (tmp_path / "vec" / "steps.tsv").read_text().splitlines()
+    header, data = rows[0].split("\t"), [r.split("\t") for r in rows[1:]]
+    assert len(data) == 2 * ppo_cfg.steps_per_epoch  # 2 envs x steps
+    col = {k: i for i, k in enumerate(header)}
+
+    # sequential comparator: same policy params, same rng chain, same
+    # per-env keys, same env seeding rule (base + 10000 * i)
+    ap, cp = init_params(ac_cfg, ppo_cfg.seed)
+    envs = [env_fn(), env_fn()]
+    base = envs[0].seed_value
+    for i, e in enumerate(envs):
+        e.seed(base + 10000 * i)
+    obs = [e.reset().astype(np.float32) for e in envs]
+    rng = jax.random.key(ppo_cfg.seed)
+    for t in range(ppo_cfg.steps_per_epoch):
+        rng, key = jax.random.split(rng)
+        keys = jax.random.split(key, 2)
+        for e in range(2):
+            ba, v, logp, ent = sample_step(ac_cfg, ap, cp, obs[e][None],
+                                           keys[e])
+            ba = np.asarray(ba)[0]
+            env_a = action_to_env_action(ac_cfg, ba)
+            next_obs, reward, done, info = envs[e].step(env_a)
+            obs[e] = next_obs.astype(np.float32)
+            row = [r for r in data
+                   if r[col["step"]] == str(t) and r[col["env"]] == str(e)]
+            assert len(row) == 1
+            row = row[0]
+            assert float(row[col["reward"]]) == float(reward)
+            assert (int(row[col["i"]]), int(row[col["j"]]),
+                    int(row[col["k"]])) == (int(ba[0]), int(ba[1]),
+                                            int(ba[2]))
+            assert row[col["observation_hex"]] == bytes(
+                np.asarray(next_obs, np.uint8)).hex()
+
+
+def test_ppo_resume_exact(tmp_path):
+    """Full-state checkpoints (VERDICT r3 #2): kill a run at epoch k,
+    resume, and the merged steps.tsv is IDENTICAL to an uninterrupted
+    run's — params, optimizer states, PRNG key, env code/budgets/
+    RandomState and episode accumulators all restore exactly."""
+    env_fn = _tiny_env_fn(seed=2)
+    ac_cfg = ActorCriticConfig(obs_dim=env_fn().observation_space.shape[0],
+                               **_TINY_AC)
+
+    def run(epochs, out, ckpt, resume=False):
+        cfg = PPOConfig(steps_per_epoch=2, epochs=epochs, train_pi_iters=2,
+                        train_v_iters=2, save_freq=1, seed=9)
+        ppo(env_fn, cfg, ac_cfg, output_dir=out, checkpoint_dir=ckpt,
+            resume=resume)
+
+    run(4, tmp_path / "full", tmp_path / "ckpt_full")
+    run(2, tmp_path / "split", tmp_path / "ckpt_split")
+    run(4, tmp_path / "split", tmp_path / "ckpt_split", resume=True)
+
+    full = (tmp_path / "full" / "steps.tsv").read_text()
+    split = (tmp_path / "split" / "steps.tsv").read_text()
+    assert split == full
+    # the resumed run's final checkpoint equals the uninterrupted one's
+    from ldpc_tpu.utils.checkpoint import restore_checkpoint
+    a = restore_checkpoint(tmp_path / "ckpt_full")
+    b = restore_checkpoint(tmp_path / "ckpt_split")
+    assert int(a["epoch"]) == int(b["epoch"]) == 3
+    np.testing.assert_array_equal(a["code_first_rows"],
+                                  b["code_first_rows"])
+    np.testing.assert_array_equal(a["rng"], b["rng"])
+    jax.tree.map(np.testing.assert_array_equal, a["actor"], b["actor"])
+    jax.tree.map(np.testing.assert_array_equal, a["pi_opt"], b["pi_opt"])
