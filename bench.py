@@ -237,6 +237,37 @@ def resolve_levers(engine):
     return levers
 
 
+def resolve_sort(engine):
+    """Straggler-aware tiling lever (sort_words): difficulty-sort each
+    batch so Pallas tiles of easy words exit early instead of every tile
+    waiting on a straggler.  Bit-identical per-word outputs (permutation
+    invariance), so adoption only needs a timing artifact:
+    scripts/sort_ab.py -> docs/sort_ab.json.  LDPC_TPU_BENCH_SORT=0/1
+    overrides."""
+    env = os.environ.get("LDPC_TPU_BENCH_SORT")
+    if env is not None:
+        return bool(int(env))
+    ab_path = os.environ.get(
+        "LDPC_TPU_BENCH_SORT_AB_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "docs", "sort_ab.json"))
+    if engine != "pallas" or not os.path.exists(ab_path):
+        return False
+    with open(ab_path) as f:
+        ab = json.load(f)
+    if not ab.get("adopt"):
+        return False
+    from ldpc_tpu.utils.provenance import kernel_source_hash
+    if ab.get("kernel_hash") != kernel_source_hash():
+        print(f"[bench] IGNORING stale {ab_path} (kernel sources changed "
+              "since the A/B; rerun scripts/sort_ab.py)", file=sys.stderr)
+        return False
+    print(f"[bench] adopting sort_words from {ab_path} (speedup "
+          f"{ab.get('speedup_sorted_vs_unsorted')}x in the A/B)",
+          file=sys.stderr)
+    return True
+
+
 def resolve_store(engine, schedule):
     """Pallas VMEM storage dtype to use when LDPC_TPU_BENCH_DTYPE is
     unset.
@@ -326,6 +357,7 @@ def measure():
     # every SNR point) that justifies changing the schedule.
     schedule, phases, caps = resolve_cascade(engine, batch)
     levers = resolve_levers(engine)
+    sort_words = resolve_sort(engine)
     adopted_store = None
     if dtype_env is None:
         adopted_store = resolve_store(engine, schedule)
@@ -337,7 +369,7 @@ def measure():
         # f32 LLR HBM round trip are pure overhead).
         step = make_staged_sweep_device(
             code, max_iters, phase1_iters=phases,
-            redo_capacity=caps, engine=eng,
+            redo_capacity=caps, engine=eng, sort_words=sort_words,
             **({"schedule": schedule} if eng == "pallas" else {}),
             **({k: v for k, v in levers.items() if v is not None}
                if eng == "pallas" else {}),
@@ -361,6 +393,7 @@ def measure():
         adopted = (engine == "pallas"
                    and (schedule != "flooding"
                         or adopted_store is not None
+                        or sort_words
                         or any(v is not None for v in levers.values())))
         recovered = False
         if adopted:
@@ -374,6 +407,7 @@ def measure():
                 max(128, batch * 3 // 16)]
             levers = {"tile_b": None, "dep_stride": None,
                       "popcount_sign": None}
+            sort_words = False
             if adopted_store is not None:
                 dtype_env = adopted_store = None
             try:
@@ -474,6 +508,9 @@ def measure():
     if engine == "pallas" and any(v is not None for v in levers.values()):
         extra["levers"] = {k: v for k, v in levers.items()
                            if v is not None}
+    if sort_words:
+        # bit-identical scheduling lever, adjudicated by docs/sort_ab.json
+        extra["sort_words"] = True
     if adopted_store is not None:
         # adjudicated by docs/quantized_ber.json (int8 FER within the
         # bfloat16 run's Wilson CI at every point)

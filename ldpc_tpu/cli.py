@@ -60,10 +60,18 @@ def cmd_evaluate(args):
         schedule=args.schedule,
         checkpoint_path=args.checkpoint,
         early_abort_ber=args.early_abort_ber,
+        sort_words=args.sort_words,
         verbose=True)
     if args.tile_b is not None and args.engine != "pallas":
         raise SystemExit("--tile-b is a pallas-engine scheduling lever; "
                          "combine it with --engine pallas")
+    if getattr(args, "codewords", "zero") == "random":
+        if args.sharded:
+            raise SystemExit("--codewords random is the single-device "
+                             "validation path (XLA engine, unstaged)")
+        common.update(codewords="random", staged=False, engine="xla",
+                      phase1_iters=12, store_dtype=None,
+                      schedule="flooding")
     if args.sharded:
         # the reference wrapper's numberOfCudaDevices path
         # (ldpcCUDA.py:891-932): split the batch over every visible
@@ -237,6 +245,16 @@ def main(argv=None):
     e.add_argument("--checkpoint", default=None,
                    help="save statistics after every SNR point and resume "
                         "past completed points on restart")
+    e.add_argument("--sort-words", action="store_true",
+                   help="straggler-aware tiling: difficulty-sort the "
+                        "batch before decoding (bit-identical outputs; "
+                        "scheduling lever for the pallas tile early-exit)")
+    e.add_argument("--codewords", default="zero",
+                   choices=["zero", "random"],
+                   help="'random' transmits encoded random messages and "
+                        "counts errors vs the transmitted word (validates "
+                        "the all-zero protocol; ldpc.py:409-416 done "
+                        "right)")
     e.add_argument("--early-abort-ber", type=float, default=None,
                    help="stop the sweep once a point's BER exceeds this "
                         "reference value (ldpc.py:473-475)")

@@ -130,7 +130,8 @@ def sharded_staged_sweep_step(code: QCCode, mesh: Mesh,
                               dtype=jnp.float32, store_dtype=None,
                               tile_b: int | None = None,
                               schedule: str = "flooding",
-                              engine: str = "xla"):
+                              engine: str = "xla",
+                              sort_words: bool = False):
     """Mesh-sharded Monte-Carlo step with the staged cascade ON DEVICE.
 
     The single-device staged path (``sim.evaluate.make_staged_sweep_device``)
@@ -162,7 +163,7 @@ def sharded_staged_sweep_step(code: QCCode, mesh: Mesh,
         code, max_iters, phase1_iters=phase1_iters,
         redo_capacity=redo_capacity, kind=kind, dtype=dtype,
         store_dtype=store_dtype, tile_b=tile_b, schedule=schedule,
-        engine=engine)
+        engine=engine, sort_words=sort_words)
     opts = _pallas_compiler_options(engine)
     cache: dict = {}
 
@@ -220,6 +221,7 @@ def evaluate_code_sharded(code: QCCode,
                           redo_capacity=None,
                           store_dtype=None,
                           schedule: str = "flooding",
+                          sort_words: bool = False,
                           early_abort_ber: float | None = None,
                           checkpoint_path=None,
                           stats: BerStatistics | None = None,
@@ -262,8 +264,12 @@ def evaluate_code_sharded(code: QCCode,
             redo_capacity=redo_capacity, kind=kind, scale_llr=scale_llr,
             dtype=dtype, store_dtype=store_dtype, schedule=schedule,
             tile_b=(pallas_tile_b if engine == "pallas" else None),
-            engine=engine)
+            engine=engine, sort_words=sort_words)
     else:
+        if sort_words:
+            raise ValueError("sort_words on the sharded path needs "
+                             "staged=True (the per-shard cascade core is "
+                             "where the sort lives)")
         step = sharded_sweep_step(code, mesh, max_iters, kind=kind,
                                   scale_llr=scale_llr, dtype=dtype,
                                   engine=engine, schedule=schedule,

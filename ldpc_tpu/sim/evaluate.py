@@ -217,13 +217,27 @@ def _staged_core_builder(code: QCCode, max_iters: int, *,
                          schedule: str = "flooding", engine: str = "xla",
                          tile_b: int | None = None,
                          dep_stride: int | None = None,
-                         popcount_sign: bool | None = None, **decoder_kw):
+                         popcount_sign: bool | None = None,
+                         sort_words: bool = False, **decoder_kw):
     """Shared staged-cascade builder: returns ``core(b)`` producing the
     UNJITTED ``fn(llr[b, n]) -> (errors, iterations, success)`` (callers
     jit it, composing extra work into the same dispatch — see
     :func:`make_staged_decoder_device` / :func:`make_staged_sweep_device`
     for the semantics and parameter docs).  ``tile_b`` overrides the
-    Pallas kernel's codeword tile (lane axis; scheduling lever)."""
+    Pallas kernel's codeword tile (lane axis; scheduling lever).
+
+    ``sort_words`` (straggler-aware tiling, VERDICT r3 #3): sort the
+    batch by a cheap difficulty proxy — the uncoded error count — before
+    decoding, and scatter the per-word outputs back afterwards.  A Pallas
+    tile runs until ALL of its words converge, so one straggler charges
+    its 127 converged lanemates full sweeps; difficulty-sorting groups
+    easy words into tiles that exit early and makes stragglers share
+    tiles.  Per-word outputs are permutation-invariant (lanes are
+    independent in the kernel; the XLA decoder is per-word independent
+    too), so results are BIT-IDENTICAL to the unsorted decode — purely a
+    scheduling lever.  The cascade composes: the failed-word gather is a
+    stable sort by success, so within the re-decode the difficulty order
+    is preserved."""
     del decoder_kw  # engine fns take no extra kwargs today
     if schedule != "flooding" and engine != "pallas":
         raise ValueError("schedules other than flooding need the pallas "
@@ -304,9 +318,19 @@ def _staged_core_builder(code: QCCode, max_iters: int, *,
                                 (e1, it1, ok1, llr))
 
         def fn(llr):
+            if sort_words:
+                # difficulty proxy: hard-decision error count vs the
+                # all-zero word (one elementwise pass + row sum — noise
+                # vs the decode's dozens of sweeps over the same bytes)
+                unc = jnp.sum((llr > 0).astype(jnp.int32), axis=1)
+                order = jnp.argsort(unc)
+                inv = jnp.argsort(order)
+                llr = jnp.take(llr, order, axis=0)
             out = cfns[0](llr)
             for cfn, cap in zip(cfns[1:], caps):
                 out = fix_stage(cfn, cap, out + (llr,))
+            if sort_words:
+                out = tuple(jnp.take(x, inv, axis=0) for x in out)
             return out
 
         return fn
@@ -455,6 +479,56 @@ def sweep_step(code: QCCode, max_iters: int = 50, *, kind: str = "min-sum",
     return step
 
 
+def random_codeword_sweep_step(code: QCCode, max_iters: int = 50, *,
+                               kind: str = "min-sum",
+                               scale_llr: bool = False,
+                               dtype=jnp.float32, **decoder_kw):
+    """Monte-Carlo step transmitting RANDOM codewords (not all-zero).
+
+    The reference's G-based path done right (ldpc.py:409-416: encode,
+    modulate, add noise — vestigial there, the all-zero word is its
+    default): draw uniform messages, systematically encode
+    (``codes/encode.py``, one MXU matmul), BPSK+AWGN, decode, and count
+    bit errors against the TRANSMITTED word.  This validates the all-zero
+    Monte-Carlo protocol end-to-end — encoder, channel symmetry and
+    decoder together — instead of assuming linearity + channel symmetry.
+
+    Uses the XLA engine (needs ``res.hard`` to compare against the true
+    codeword; the Pallas kernel counts errors against zero on device —
+    its decode math is sign-symmetric, so this validation covers the
+    protocol for both engines).  Same output contract as
+    :func:`sweep_step`.
+    """
+    from ..codes.encode import encoder_for_code
+    enc = encoder_for_code(code)  # raises for non-encodable codes
+    k = code.k
+    decode_fn = decoder_for_code(code, max_iters, kind=kind, dtype=dtype,
+                                 **decoder_kw)
+
+    @jax.jit
+    def step(key, snr_db):
+        b = snr_db.shape[0]
+        key_msg, key_noise = jax.random.split(key)
+        msgs = jax.random.bernoulli(key_msg, 0.5, (b, k)).astype(jnp.int8)
+        cw = enc(msgs)
+        noisy, sigma, sigma_actual = awgn(key_noise, modulate(cw), snr_db)
+        llr = llr_from_channel(noisy, sigma) if scale_llr else noisy
+        unc = jnp.sum((slicer(noisy) != cw).astype(jnp.int32), axis=-1)
+        res = decode_fn(llr)
+        errs = jnp.sum(
+            (res.hard.astype(jnp.int8) != cw).astype(jnp.int32), axis=-1)
+        return {
+            "errors_uncoded": unc,
+            "errors_decoded": errs,
+            "iterations": res.iterations,
+            "success": res.success,
+            "sigma": sigma,
+            "sigma_actual": sigma_actual,
+        }
+
+    return step
+
+
 def _transmit_fn(n: int, scale_llr: bool):
     """Jitted channel: (key, snr_db[B]) -> (llr, sigma, sigma_actual,
     uncoded error counts)."""
@@ -487,6 +561,8 @@ def evaluate_code(code: QCCode,
                   store_dtype=None,
                   schedule: str = "flooding",
                   tile_b: int | None = None,
+                  sort_words: bool = False,
+                  codewords: str = "zero",
                   early_abort_ber: float | None = None,
                   stats: BerStatistics | None = None,
                   checkpoint_path=None,
@@ -507,6 +583,11 @@ def evaluate_code(code: QCCode,
     ``"layered"`` (serial-C production schedule, ~2x fewer sweeps to
     converge; adjudicated on chip by ``scripts/layered_ab.py``).
 
+    ``codewords``: "zero" (default — the reference's all-zero Monte-Carlo
+    path, ldpc.py:409-411) or "random" — draw uniform messages,
+    systematically encode and count errors against the transmitted word
+    (validates the all-zero protocol; XLA engine, unstaged).
+
     ``checkpoint_path``: save the accumulated statistics after every SNR
     point and, on restart, resume by skipping points already completed
     with at least ``num_transmissions`` words (the reference has no sweep
@@ -522,11 +603,25 @@ def evaluate_code(code: QCCode,
     # dropped on the unstaged path.
     if tile_b is not None and engine != "pallas":
         raise ValueError("tile_b is a pallas-engine scheduling lever")
-    step = make_staged_sweep_device(
-        code, max_iters, scale_llr=scale_llr,
-        phase1_iters=phase1_iters if staged else [], kind=kind,
-        dtype=dtype, engine=engine, store_dtype=store_dtype,
-        schedule=schedule, tile_b=tile_b)
+    if codewords == "random":
+        # the G-based validation path: random messages, systematic
+        # encode, errors counted against the TRANSMITTED word (see
+        # :func:`random_codeword_sweep_step`)
+        if staged or engine != "xla":
+            raise ValueError(
+                "codewords='random' uses the XLA engine unstaged (the "
+                "Pallas kernel counts errors against the all-zero word "
+                "on device; this path exists to validate that protocol)")
+        step = random_codeword_sweep_step(
+            code, max_iters, kind=kind, scale_llr=scale_llr, dtype=dtype)
+    elif codewords != "zero":
+        raise ValueError(f"unknown codewords mode: {codewords!r}")
+    else:
+        step = make_staged_sweep_device(
+            code, max_iters, scale_llr=scale_llr,
+            phase1_iters=phase1_iters if staged else [], kind=kind,
+            dtype=dtype, engine=engine, store_dtype=store_dtype,
+            schedule=schedule, tile_b=tile_b, sort_words=sort_words)
     if stats is None:
         import os
         if checkpoint_path is not None and os.path.exists(checkpoint_path):

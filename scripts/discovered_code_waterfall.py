@@ -1,0 +1,189 @@
+"""Publish the RL-discovered code: full BER/FER waterfall vs near-earth.
+
+The wide-window PPO search (docs/rl_search_wide.md) discovered a code
+re-evaluating at reward 0.8160 vs near-earth's 0.8059 (8x the re-eval
+noise).  Reward is the env's fitted-line integral — the DOMAIN claim needs
+a waterfall (VERDICT r3 #6, matching the re-eval protocol of the
+reference's postProcessing.py:27-49).  This script:
+
+1. recovers the best code from the search's steps.tsv (the same
+   max-reward observation the re-eval used),
+2. measures BER/FER waterfalls for it and near-earth — 16k+ words/point,
+   50 iterations, frame-clustered 95% CIs (BER) and Wilson CIs (FER),
+3. saves the code as a content-addressed instance
+   (``save_code_instance``, fileHandler.py:203 equivalent) and writes
+   docs/discovered_code.{json,md}.
+
+Run ON THE REAL CHIP:  python scripts/discovered_code_waterfall.py
+CPU smoke:  LDPC_TPU_PLATFORM=cpu python scripts/discovered_code_waterfall.py \
+    --words 16 --iters 8 --snrs 3.0 4.0 --engine xla
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+if os.environ.get("LDPC_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
+
+import numpy as np
+
+STEPS_TSV = ("/root/repo/docs/experiments/search_wide/search_wide_s47/"
+             "steps.tsv")
+
+
+def frame_ci(errs: np.ndarray, n_bits: int, zcrit: float = 1.96):
+    b = errs.shape[0]
+    ber = errs.mean() / n_bits
+    half = zcrit * errs.std(ddof=1) / np.sqrt(b) / n_bits
+    return float(ber), float(half)
+
+
+def wilson(k: int, n: int, zcrit: float = 1.96):
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    p = k / n
+    z2 = zcrit * zcrit
+    den = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / den
+    half = zcrit * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / den
+    return float(p), float(max(0.0, center - half)), \
+        float(min(1.0, center + half))
+
+
+def load_best_code():
+    import pandas as pd
+
+    from ldpc_tpu.codes import uncompress
+    df = pd.read_csv(STEPS_TSV, sep="\t",
+                     dtype={"observation_hex": str})
+    best = df.loc[df["reward"].idxmax()]
+    obs = np.frombuffer(bytes.fromhex(best["observation_hex"]), np.uint8)
+    return uncompress(obs, 2, 16, 511,
+                      name="rl_discovered_wide_s47"), float(best["reward"])
+
+
+def sweep(code, snrs, words, iters, engine, seed):
+    from ldpc_tpu.sim.evaluate import evaluate_code
+    t0 = time.time()
+    stats = evaluate_code(
+        code, snrs, words, iters, seed=seed,
+        batch_size=min(16384, words), staged=(iters > 12),
+        engine=engine, verbose=True)
+    points = []
+    for snr in snrs:
+        sel = stats.column("snr") == snr
+        errs = stats.column("errors_decoded")[sel].astype(np.float64)
+        fe = int(stats.column("frame_errors")[sel].sum())
+        w = int(sel.sum())
+        ber, half = frame_ci(errs, code.n)
+        fer, flo, fhi = wilson(fe, w)
+        points.append({
+            "snr_db": snr, "words": w, "ber": ber, "ber_ci95_half": half,
+            "fer": fer, "fer_wilson95": [flo, fhi],
+            "avg_iters": float(stats.column("iterations")[sel].mean()),
+        })
+    return points, time.time() - t0, stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--words", type=int, default=16384)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--snrs", type=float, nargs="+",
+                    default=[3.0, 3.2, 3.4, 3.6, 3.8, 4.0])
+    ap.add_argument("--engine", default="pallas")
+    ap.add_argument("--seed", type=int, default=424242)
+    ap.add_argument("--out", default="/root/repo/docs/discovered_code")
+    args = ap.parse_args()
+
+    from ldpc_tpu.codes import near_earth_code
+    from ldpc_tpu.codes.io import save_code_instance
+
+    on_cpu = os.environ.get("LDPC_TPU_PLATFORM") == "cpu"
+    best_code, train_reward = load_best_code()
+    ne = near_earth_code()
+    diff = [(mb, nb) for mb in range(2) for nb in range(16)
+            if best_code.shifts[mb][nb] != ne.shifts[mb][nb]]
+    print(f"discovered code: train reward {train_reward:.4f}, differs "
+          f"from near-earth in blocks {diff}", flush=True)
+
+    out = {"train_reward": train_reward,
+           "reeval_reward": {"best": 0.81596, "near_earth": 0.80592,
+                             "source": "docs/rl_search_wide.md"},
+           "blocks_changed": diff, "max_iters": args.iters,
+           "words_per_point": args.words, "engine": args.engine,
+           "codes": {}}
+    stats_best = None
+    for name, code in [("near_earth", ne), ("discovered", best_code)]:
+        pts, dt, stats = sweep(code, args.snrs, args.words, args.iters,
+                               args.engine, args.seed)
+        out["codes"][name] = pts
+        if name == "discovered":
+            stats_best = stats
+        for p in pts:
+            print(f"[{name}] @{p['snr_db']}: BER {p['ber']:.4e} ± "
+                  f"{p['ber_ci95_half']:.1e}  FER {p['fer']:.4e} "
+                  f"[{p['fer_wilson95'][0]:.1e}, "
+                  f"{p['fer_wilson95'][1]:.1e}]  iters "
+                  f"{p['avg_iters']:.1f}", flush=True)
+        print(f"[{name}] swept in {dt:.1f} s", flush=True)
+
+    # where does the discovered code actually win?
+    wins = []
+    for a, b in zip(out["codes"]["near_earth"], out["codes"]["discovered"]):
+        better = (b["ber"] + b["ber_ci95_half"]
+                  < a["ber"] - a["ber_ci95_half"])
+        worse = (b["ber"] - b["ber_ci95_half"]
+                 > a["ber"] + a["ber_ci95_half"])
+        wins.append({"snr_db": a["snr_db"],
+                     "verdict": ("discovered" if better else
+                                 "near_earth" if worse else "tie")})
+    out["per_point_verdicts"] = wins
+    print("verdicts:", json.dumps(wins), flush=True)
+
+    if on_cpu:
+        print("CPU smoke only — not writing artifacts", flush=True)
+        return
+    inst = save_code_instance(
+        best_code, "/root/repo/docs/experiments/search_wide",
+        stats=stats_best)
+    out["code_instance"] = os.path.basename(inst)
+    with open(args.out + ".json", "w") as f:
+        json.dump(out, f, indent=1)
+
+    rows = ["# The RL-discovered code: BER/FER waterfall vs near-earth",
+            "",
+            f"Best code of the 150-epoch wide-window search "
+            f"(docs/rl_search_wide.md; differs from near-earth in blocks "
+            f"{diff}), re-measured at {args.words} words/point, "
+            f"{args.iters} iterations ({args.engine} engine).  Saved as "
+            f"`experiments/search_wide/{out['code_instance']}` "
+            "(content-addressed, fileHandler.saveCodeInstance schema).", "",
+            "| Eb/N0 (dB) | near-earth BER (95% CI) | discovered BER "
+            "(95% CI) | near-earth FER | discovered FER | verdict |",
+            "|---|---|---|---|---|---|"]
+    for a, b, v in zip(out["codes"]["near_earth"],
+                       out["codes"]["discovered"], wins):
+        rows.append(
+            f"| {a['snr_db']} | {a['ber']:.4e} ± {a['ber_ci95_half']:.1e}"
+            f" | {b['ber']:.4e} ± {b['ber_ci95_half']:.1e} | "
+            f"{a['fer']:.4e} | {b['fer']:.4e} | {v['verdict']} |")
+    rows += ["", "Reward (∫(1−fitted BER line), 3.0-3.8 dB, 5-seed "
+             "re-eval): discovered 0.81596 ± 0.00119 vs near-earth "
+             "0.80592 ± 0.00042 (docs/rl_search_wide.md)."]
+    with open(args.out + ".md", "w") as f:
+        f.write("\n".join(rows) + "\n")
+    print(f"wrote {args.out}.json / .md + {inst}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
