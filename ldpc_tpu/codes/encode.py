@@ -22,7 +22,7 @@ import numpy as np
 from .qc import QCCode
 
 __all__ = ["make_encoder", "encoder_for_code", "encode",
-           "parity_part_from_h"]
+           "parity_part_from_h", "systematic_encoder_from_h"]
 
 
 def parity_part_from_h(h: np.ndarray) -> np.ndarray:
@@ -58,7 +58,8 @@ def parity_part_from_h(h: np.ndarray) -> np.ndarray:
 def make_encoder(a_dense: np.ndarray):
     """Jitted systematic encoder from the dense parity part A [k, n-k].
 
-    Returns ``encode(messages[B, k] int) -> codewords[B, n] int8``.
+    Returns ``encode(messages[B, k] int) -> codewords[B, n] int8``; the
+    function carries ``k_eff`` (message bits it consumes).
     """
     a = jnp.asarray(np.asarray(a_dense, np.float32))
 
@@ -70,30 +71,93 @@ def make_encoder(a_dense: np.ndarray):
         return jnp.concatenate(
             [m.astype(jnp.int8), parity.astype(jnp.int8)], axis=-1)
 
+    encode_fn.k_eff = int(a_dense.shape[0])
+    return encode_fn
+
+
+def systematic_encoder_from_h(h: np.ndarray):
+    """General systematic encoder for ANY dense parity matrix H [m, n].
+
+    Row-reduces H over GF(2) with COLUMN pivoting, so it works where
+    :func:`parity_part_from_h` cannot: the pivot columns (an invertible
+    column set that always exists, wherever it sits) become the parity
+    positions and the remaining ``n - rank`` columns carry the message.
+    Rank-deficient H (redundant checks — e.g. dense near-earth H has
+    GF(2) rank 1020 of 1022) is handled by dropping the dependent rows:
+    ``k_eff = n - rank``.
+
+    Returns a jitted ``encode(messages[B, k_eff]) -> codewords[B, n]
+    int8`` carrying ``k_eff``, ``info_positions`` and ``parity_positions``
+    attributes.  The parity block is one MXU matmul (row sums < 2^24 in
+    float32, exact).
+    """
+    h = np.asarray(h, np.uint8) & 1
+    m, n = h.shape
+    hb = h.copy()
+    pivots = []
+    r = 0
+    for c in range(n):
+        piv = np.nonzero(hb[r:, c])[0]
+        if piv.size == 0:
+            continue
+        p = r + int(piv[0])
+        if p != r:
+            hb[[r, p]] = hb[[p, r]]
+        elim = np.nonzero(hb[:, c])[0]
+        elim = elim[elim != r]
+        hb[elim] ^= hb[r]
+        pivots.append(c)
+        r += 1
+        if r == m:
+            break
+    rank = r
+    if rank == 0:
+        raise ValueError("H has rank 0 — nothing to encode against")
+    pivots = np.asarray(pivots, np.int64)
+    info = np.setdiff1d(np.arange(n), pivots)
+    # reduced row r reads: c[pivots[r]] + sum_j M[r, j] * c[info[j]] = 0
+    mt = jnp.asarray(hb[:rank][:, info].T, jnp.float32)  # [k_eff, rank]
+    info_j = jnp.asarray(info)
+    piv_j = jnp.asarray(pivots)
+
+    @jax.jit
+    def encode_fn(messages):
+        msgs = jnp.asarray(messages, jnp.float32)
+        parity = jnp.mod(
+            jnp.dot(msgs, mt, preferred_element_type=jnp.float32), 2.0)
+        cw = jnp.zeros((msgs.shape[0], n), jnp.int8)
+        cw = cw.at[:, info_j].set(msgs.astype(jnp.int8))
+        cw = cw.at[:, piv_j].set(parity.astype(jnp.int8))
+        return cw
+
+    encode_fn.k_eff = int(n - rank)
+    encode_fn.info_positions = info
+    encode_fn.parity_positions = pivots
     return encode_fn
 
 
 @functools.lru_cache(maxsize=8)
 def encoder_for_code(code: QCCode):
-    """Encoder for any systematically-encodable code.
+    """Encoder for ANY code.
 
-    Near-earth uses the shipped CCSDS generator; every other code derives
-    its parity part from H over GF(2) (:func:`parity_part_from_h`) — in
-    particular the whole 802.11n dual-diagonal family.  Raises ValueError
-    only when the parity square of H is singular — the analog of the
-    reference's G='None' path (ldpc.py:409), which simply cannot encode.
+    Near-earth uses the shipped CCSDS generator; other codes derive the
+    parity part from H over GF(2): first the message-prefix layout
+    (:func:`parity_part_from_h` — the 802.11n dual-diagonal family), and
+    when that parity square is singular, the general column-pivoted
+    encoder (:func:`systematic_encoder_from_h`) — so unlike the
+    reference's G='None' dead end (ldpc.py:409) every H is encodable.
+    The returned function carries ``k_eff``, which may differ from
+    ``code.k`` for rank-deficient H (redundant checks).
     """
     from .ccsds import K, N, near_earth_code, near_earth_generator_dense
     if code.shifts == near_earth_code().shifts:
         g = near_earth_generator_dense()
         return make_encoder(g[:, K:])
+    h = code.to_dense()
     try:
-        a = parity_part_from_h(code.to_dense())
-    except ValueError as e:
-        raise ValueError(
-            f"code {code.name!r} is not systematically encodable ({e}); "
-            "use make_encoder with an explicit parity part") from e
-    return make_encoder(a)
+        return make_encoder(parity_part_from_h(h))
+    except ValueError:
+        return systematic_encoder_from_h(h)
 
 
 def encode(code: QCCode, messages) -> jax.Array:

@@ -500,8 +500,10 @@ def random_codeword_sweep_step(code: QCCode, max_iters: int = 50, *,
     :func:`sweep_step`.
     """
     from ..codes.encode import encoder_for_code
-    enc = encoder_for_code(code)  # raises for non-encodable codes
-    k = code.k
+    enc = encoder_for_code(code)
+    # the encoder's true message size: differs from code.k for
+    # rank-deficient H (redundant checks) or column-pivoted layouts
+    k = getattr(enc, "k_eff", code.k)
     decode_fn = decoder_for_code(code, max_iters, kind=kind, dtype=dtype,
                                  **decoder_kw)
 

@@ -61,6 +61,17 @@ def main():
         "near-earth": (near_earth_code(), [3.0, 3.4]),
         "wifi": (wifi_code(), [2.5, 3.5]),
     }
+    for name in args.codes:
+        # "instance:<path>[@snr1,snr2]": validate a saved code instance
+        # (e.g. the RL-discovered code) — its parity part is derived from
+        # H over GF(2), so this also proves it systematically encodable
+        if name.startswith("instance:"):
+            from ldpc_tpu.codes.io import load_code_instance
+            spec = name[len("instance:"):]
+            path, _, snr_s = spec.partition("@")
+            snrs = ([float(x) for x in snr_s.split(",")] if snr_s
+                    else [3.0, 3.2])
+            cases[name] = (load_code_instance(path)[0], snrs)
 
     out = {"words_per_point": args.words, "max_iters": args.iters,
            "seed": args.seed, "codes": {}}

@@ -178,15 +178,37 @@ def test_encoder_produces_codewords():
     assert np.array_equal(np.asarray(res.hard), cw)
 
 
-def test_encoder_singular_code_raises():
-    """A code whose parity square is singular has no systematic encoder —
-    the analog of the reference's G='None' path (ldpc.py:409)."""
+def test_encoder_singular_parity_square_falls_back():
+    """A code whose TRAILING parity square is singular still encodes via
+    the column-pivoted general encoder (r4) — the reference's G='None'
+    path (ldpc.py:409) simply could not encode such codes."""
+    import numpy as np
     from ldpc_tpu.codes import encoder_for_code
-    import pytest as _pytest
     # parity block I + P^2 over z=4 squares to zero mod 2 -> singular H2
     singular = QCCode(z=4, shifts=(((0,), (1,), (0, 2)),))
-    with _pytest.raises(ValueError):
-        encoder_for_code(singular)
+    enc = encoder_for_code(singular)
+    h = singular.to_dense(np.int64)
+    rng = np.random.RandomState(3)
+    msgs = rng.randint(0, 2, size=(5, enc.k_eff))
+    cw = np.asarray(enc(msgs))
+    assert ((h @ cw.T) % 2 == 0).all()          # valid codewords
+    assert np.array_equal(cw[:, enc.info_positions], msgs)
+
+
+def test_systematic_encoder_rank_deficient_h():
+    """Redundant checks (rank-deficient H): k_eff = n - rank, encoded
+    words satisfy EVERY row of H (including the dependent ones)."""
+    import numpy as np
+    from ldpc_tpu.codes.encode import systematic_encoder_from_h
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 2, size=(4, 12)).astype(np.uint8)
+    h = np.vstack([base, (base[0] ^ base[1])[None]])  # dependent 5th row
+    enc = systematic_encoder_from_h(h)
+    assert enc.k_eff == 12 - 4                        # rank 4, not 5
+    msgs = rng.randint(0, 2, size=(7, enc.k_eff))
+    cw = np.asarray(enc(msgs))
+    assert ((h.astype(np.int64) @ cw.T) % 2 == 0).all()
+    assert np.array_equal(cw[:, enc.info_positions], msgs)
 
 
 def test_wifi_family_tables_structure():
