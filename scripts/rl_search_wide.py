@@ -61,6 +61,9 @@ def main():
                     default=[3.0, 3.2, 3.4, 3.6, 3.8])
     ap.add_argument("--exp-name", default="search_wide")
     ap.add_argument("--data-dir", default="/root/repo/docs/experiments")
+    ap.add_argument("--num-envs", type=int, default=1,
+                    help="parallel rollout envs (ppo num_envs; steps is "
+                         "PER ENV, so transitions/epoch = envs * steps)")
     ap.add_argument("--reeval-transmissions", type=int, default=512)
     ap.add_argument("--reeval-seeds", type=int, nargs="+",
                     default=[11, 12, 13, 14, 15])
@@ -101,6 +104,7 @@ def main():
             "--epochs", str(args.epochs), "--steps", str(args.steps),
             "--num_transmissions", str(args.num_transmissions),
             "--entropy_bonus", "--seed", str(args.seed),
+            "--num_envs", str(args.num_envs),
             "--exp_name", args.exp_name, "--data_dir", args.data_dir,
             "--snr", *[str(s) for s in args.snr]])
         block_rows, block_cols, z = 2, 16, 511
