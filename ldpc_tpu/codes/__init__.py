@@ -16,6 +16,7 @@ from .wifi import (WIFI_1944_81_RATE_1_2, WIFI_1944_81_RATE_2_3,
 from .codec import compress, observation_bytes, uncompress
 from .perturb import zero_circulant, zeroed_circulant_suite, write_suite
 from .encode import (encode, encoder_for_code, make_encoder,
+                     systematic_encoder_from_h,
                      parity_part_from_h)
 from .synthetic import synthetic_qc_code
 
@@ -33,5 +34,6 @@ __all__ = [
     "compress", "uncompress", "observation_bytes",
     "zero_circulant", "zeroed_circulant_suite", "write_suite",
     "encode", "encoder_for_code", "make_encoder", "parity_part_from_h",
+    "systematic_encoder_from_h",
     "synthetic_qc_code",
 ]

@@ -62,7 +62,9 @@ def main():
                     choices=["xla", "pallas"])
     ap.add_argument("--phase-iters", default="12")
     ap.add_argument("--code", default="near-earth",
-                    help="near-earth (production study) or wifi (CPU smoke)")
+                    help="near-earth (production study), wifi (CPU smoke) "
+                         "or instance:<path> (a saved code instance, e.g. "
+                         "the RL-discovered code)")
     ap.add_argument("--no-write", action="store_true",
                     help="skip writing docs/ artifacts (smoke runs)")
     ap.add_argument("--checkpoint",
@@ -72,7 +74,15 @@ def main():
     from ldpc_tpu.codes import near_earth_code, wifi_code
     from ldpc_tpu.sim.evaluate import evaluate_code
 
-    code = wifi_code() if args.code == "wifi" else near_earth_code()
+    if args.code.startswith("instance:"):
+        from ldpc_tpu.codes.io import load_code_instance
+        code = load_code_instance(args.code[len("instance:"):])[0]
+        args.code = "instance:" + os.path.basename(
+            args.code[len("instance:"):])[:24]
+    elif args.code == "wifi":
+        code = wifi_code()
+    else:
+        code = near_earth_code()
     t0 = time.time()
     stats = evaluate_code(
         code, args.snr, args.words, args.max_iters,
@@ -116,8 +126,11 @@ def main():
         "code": args.code, "n": code.n, "max_iters": args.max_iters,
         "engine": args.engine, "elapsed_s": elapsed, "points": points,
     }
+    out_base = ("/root/repo/docs/error_floor_discovered"
+                if args.code.startswith("instance:")
+                else "/root/repo/docs/error_floor")
     if not args.no_write:
-        with open("/root/repo/docs/error_floor.json", "w") as f:
+        with open(out_base + ".json", "w") as f:
             json.dump(out, f, indent=1)
         md = [
             "# Deep error-floor sweep (beyond the reference's resolution)",
@@ -140,7 +153,7 @@ def main():
                 f"| {p['snr_db']} | {p['words']:,} | {p['bit_errors']} | "
                 f"{p['ber']:.3e} | {p['frame_errors']} | {p['fer']:.3e} | "
                 f"{lo:.2e} – {hi:.2e} |")
-        with open("/root/repo/docs/error_floor.md", "w") as f:
+        with open(out_base + ".md", "w") as f:
             f.write("\n".join(md) + "\n")
     print(json.dumps(out["points"][-1]))
 

@@ -71,7 +71,9 @@ def main():
             path, _, snr_s = spec.partition("@")
             snrs = ([float(x) for x in snr_s.split(",")] if snr_s
                     else [3.0, 3.2])
-            cases[name] = (load_code_instance(path)[0], snrs)
+            short = "instance:" + os.path.basename(path)[:24]
+            args.codes[args.codes.index(name)] = short
+            cases[short] = (load_code_instance(path)[0], snrs)
 
     out = {"words_per_point": args.words, "max_iters": args.iters,
            "seed": args.seed, "codes": {}}
