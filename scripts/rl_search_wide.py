@@ -186,9 +186,12 @@ def main():
             f"{base_s:.5f} |",
             f"| best found | **{best_m:.5f} ± {best_s:.5f}** |",
         ]
-        with open("/root/repo/docs/rl_search_wide.md", "w") as f:
+        md_path = ("/root/repo/docs/rl_search_wide.md"
+                   if args.exp_name == "search_wide"
+                   else f"/root/repo/docs/rl_{args.exp_name}.md")
+        with open(md_path, "w") as f:
             f.write("\n".join(md) + "\n")
-        print("wrote docs/rl_search_wide.md", file=sys.stderr)
+        print(f"wrote {md_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

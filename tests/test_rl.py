@@ -241,3 +241,23 @@ def test_ppo_resume_exact(tmp_path):
     np.testing.assert_array_equal(a["rng"], b["rng"])
     jax.tree.map(np.testing.assert_array_equal, a["actor"], b["actor"])
     jax.tree.map(np.testing.assert_array_equal, a["pi_opt"], b["pi_opt"])
+
+
+def test_ppo_resume_exact_multi_env(tmp_path):
+    """Resume exactness with num_envs=2: the stacked per-env state
+    (codes, budgets, MT19937 states, episode accumulators) restores."""
+    env_fn = _tiny_env_fn(seed=6)
+    ac_cfg = ActorCriticConfig(obs_dim=env_fn().observation_space.shape[0],
+                               **_TINY_AC)
+
+    def run(epochs, out, ckpt, resume=False):
+        cfg = PPOConfig(steps_per_epoch=2, epochs=epochs, train_pi_iters=1,
+                        train_v_iters=1, save_freq=1, seed=13)
+        ppo(env_fn, cfg, ac_cfg, num_envs=2, output_dir=out,
+            checkpoint_dir=ckpt, resume=resume)
+
+    run(3, tmp_path / "full", tmp_path / "ckpt_full")
+    run(1, tmp_path / "split", tmp_path / "ckpt_split")
+    run(3, tmp_path / "split", tmp_path / "ckpt_split", resume=True)
+    assert (tmp_path / "split" / "steps.tsv").read_text() == \
+        (tmp_path / "full" / "steps.tsv").read_text()
