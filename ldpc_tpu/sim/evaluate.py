@@ -609,11 +609,12 @@ def evaluate_code(code: QCCode,
         # the G-based validation path: random messages, systematic
         # encode, errors counted against the TRANSMITTED word (see
         # :func:`random_codeword_sweep_step`)
-        if staged or engine != "xla":
+        if staged or engine != "xla" or sort_words:
             raise ValueError(
-                "codewords='random' uses the XLA engine unstaged (the "
-                "Pallas kernel counts errors against the all-zero word "
-                "on device; this path exists to validate that protocol)")
+                "codewords='random' uses the XLA engine unstaged, without "
+                "sort_words (the Pallas kernel counts errors against the "
+                "all-zero word on device; this path exists to validate "
+                "that protocol)")
         step = random_codeword_sweep_step(
             code, max_iters, kind=kind, scale_llr=scale_llr, dtype=dtype)
     elif codewords != "zero":
