@@ -85,6 +85,11 @@ def main(argv=None):
                         help="restore the latest checkpoint (params, "
                              "optimizer states, PRNG key, env states) and "
                              "continue; progress/steps logs are appended")
+    parser.add_argument("--start_instance", default=None,
+                        help="path to a saved code instance (.npz/.mat) "
+                             "to use as the search start state instead of "
+                             "CCSDS near-earth — e.g. bootstrap a new "
+                             "search from a previously discovered code")
     args = parser.parse_args(argv)
 
     from ..envs.code_search import LdpcCodeSearchEnv
@@ -100,6 +105,9 @@ def main(argv=None):
                    f"{args.exp_name}_s{args.seed}",
         exp_name=args.exp_name, append=args.resume)
     env_kw = {} if args.snr is None else {"snr_points": tuple(args.snr)}
+    if args.start_instance:
+        from ..codes.io import load_code_instance
+        env_kw["code"] = load_code_instance(args.start_instance)[0]
     return ppo(lambda: LdpcCodeSearchEnv(
         seed=args.seed, num_transmissions=args.num_transmissions, **env_kw),
         ppo_cfg, logger=logger, num_envs=args.num_envs, resume=args.resume,
