@@ -61,6 +61,9 @@ def main():
                     default=[3.0, 3.2, 3.4, 3.6, 3.8])
     ap.add_argument("--exp-name", default="search_wide")
     ap.add_argument("--data-dir", default="/root/repo/docs/experiments")
+    ap.add_argument("--start-instance", default=None,
+                    help="saved code instance to START the search from "
+                         "(bootstrap); re-eval baseline becomes this code")
     ap.add_argument("--num-envs", type=int, default=1,
                     help="parallel rollout envs (ppo num_envs; steps is "
                          "PER ENV, so transitions/epoch = envs * steps)")
@@ -106,11 +109,17 @@ def main():
             "--entropy_bonus", "--seed", str(args.seed),
             "--num_envs", str(args.num_envs),
             "--exp_name", args.exp_name, "--data_dir", args.data_dir,
-            "--snr", *[str(s) for s in args.snr]])
+            "--snr", *[str(s) for s in args.snr]]
+            + (["--start_instance", args.start_instance]
+               if args.start_instance else []))
         block_rows, block_cols, z = 2, 16, 511
         reeval_tx, reeval_seeds, reeval_iters = (
             args.reeval_transmissions, args.reeval_seeds, 50)
-        base_code = near_earth_code()
+        if args.start_instance:
+            from ldpc_tpu.codes.io import load_code_instance
+            base_code = load_code_instance(args.start_instance)[0]
+        else:
+            base_code = near_earth_code()
     train_s = time.time() - t0
 
     # --- learning curve summary + heatmaps ---
