@@ -69,9 +69,14 @@ def cmd_evaluate(args):
         if args.sharded:
             raise SystemExit("--codewords random is the single-device "
                              "validation path (XLA engine, unstaged)")
-        common.update(codewords="random", staged=False, engine="xla",
-                      phase1_iters=12, store_dtype=None,
-                      schedule="flooding")
+        if (args.engine != "xla" or args.schedule != "flooding"
+                or args.store_dtype or args.tile_b is not None):
+            raise SystemExit(
+                "--codewords random runs the XLA engine unstaged "
+                "(flooding, f32) — drop --engine/--schedule/"
+                "--store-dtype/--tile-b rather than having them "
+                "silently ignored")
+        common.update(codewords="random", staged=False, phase1_iters=12)
     if args.sharded:
         # the reference wrapper's numberOfCudaDevices path
         # (ldpcCUDA.py:891-932): split the batch over every visible

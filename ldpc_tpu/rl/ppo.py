@@ -243,17 +243,6 @@ def ppo(env_fn: Callable | Sequence[Callable],
         logger.save_config({"ppo": dataclasses.asdict(ppo_cfg),
                             "model": dataclasses.asdict(ac_cfg),
                             "num_envs": num_envs})
-    # Per-step TSV: the experiment.txt equivalent consumed by
-    # analysis.postprocess (postProcessing.py:27-49 reads Reward,
-    # Observation, epochNumber, i/j/kAction).  Observations are stored as
-    # hex so post-mortem can uncompress the exact visited codes.
-    tsv = TsvLogger(
-        ["epoch", "step", "env", "reward", "value", "logp", "i", "j", "k",
-         "observation_hex"],
-        path=(None if logger.output_dir is None
-              else logger.output_dir / "steps.tsv"),
-        print_rows=False, append=resume)
-
     rng = jax.random.key(ppo_cfg.seed)
     actor_params, critic_params = init_params(ac_cfg, ppo_cfg.seed)
     pi_opt, vf_opt, pi_update, v_update = make_update_fns(
@@ -313,6 +302,29 @@ def ppo(env_fn: Callable | Sequence[Callable],
         start_epoch = int(state["epoch"]) + 1
         logger.log(f"Resumed from epoch {int(state['epoch'])} in "
                    f"{checkpoint_dir}")
+        # A crash BETWEEN checkpoints leaves log rows for epochs newer
+        # than the restored state; those epochs re-run now, so drop their
+        # rows to keep one row per (epoch, step, env) in the merged logs.
+        logger.drop_epochs_after(int(state["epoch"]))
+
+    def _truncate_steps_tsv(path, max_epoch):
+        lines = path.read_text().splitlines()
+        kept = lines[:1] + [ln for ln in lines[1:]
+                            if int(ln.split("\t")[0]) <= max_epoch]
+        path.write_text("\n".join(kept) + ("\n" if kept else ""))
+
+    # Per-step TSV: the experiment.txt equivalent consumed by
+    # analysis.postprocess (postProcessing.py:27-49 reads Reward,
+    # Observation, epochNumber, i/j/kAction).  Observations are stored as
+    # hex so post-mortem can uncompress the exact visited codes.
+    tsv_path = (None if logger.output_dir is None
+                else logger.output_dir / "steps.tsv")
+    if resume and tsv_path is not None and tsv_path.exists():
+        _truncate_steps_tsv(tsv_path, start_epoch - 1)
+    tsv = TsvLogger(
+        ["epoch", "step", "env", "reward", "value", "logp", "i", "j", "k",
+         "observation_hex"],
+        path=tsv_path, print_rows=False, append=resume)
 
     def save(epoch):
         from ..utils.checkpoint import save_checkpoint

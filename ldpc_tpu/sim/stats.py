@@ -28,7 +28,8 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["BerStatistics", "snr_db_actual"]
+__all__ = ["BerStatistics", "snr_db_actual", "frame_ber_ci",
+           "wilson_interval"]
 
 # Column semantics (per entry of weight w):
 #   snr             nominal SNR dB of the entry
@@ -51,6 +52,34 @@ def snr_db_actual(sigma_actual) -> np.ndarray:
     """Realized SNR in dB from realized noise RMS (common.py:152-155)."""
     sigma_actual = np.asarray(sigma_actual, np.float64)
     return 10.0 * np.log10(1.0 / (2.0 * sigma_actual ** 2))
+
+
+def frame_ber_ci(frame_errors, n_bits: int, zcrit: float = 1.96):
+    """Frame-clustered BER mean and 95% CI halfwidth.
+
+    ``frame_errors``: per-word decoded bit-error counts.  Bit errors
+    cluster within frames, so the honest CI treats frames (not bits) as
+    the independent samples — the convention of every measured artifact
+    in docs/ (ber_parity, random_codeword, discovered_code).
+    """
+    errs = np.asarray(frame_errors, np.float64)
+    b = errs.shape[0]
+    ber = errs.mean() / n_bits
+    half = zcrit * errs.std(ddof=1) / np.sqrt(b) / n_bits
+    return float(ber), float(half)
+
+
+def wilson_interval(k: int, n: int, zcrit: float = 1.96):
+    """Wilson score interval for a binomial proportion: (p, lo, hi)."""
+    if n == 0:
+        return 0.0, 0.0, 1.0
+    p = k / n
+    z2 = zcrit * zcrit
+    den = 1 + z2 / n
+    centre = (p + z2 / (2 * n)) / den
+    half = zcrit * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / den
+    return float(p), float(max(0.0, centre - half)), \
+        float(min(1.0, centre + half))
 
 
 @dataclasses.dataclass

@@ -242,6 +242,37 @@ class EpochLogger:
         self.log_current_row.clear()
         self.first_row = False
 
+    def drop_epochs_after(self, max_epoch: int):
+        """Resume helper: drop progress rows with Epoch > ``max_epoch``.
+
+        A crash BETWEEN checkpoints leaves rows for epochs that will be
+        re-run after resume; without truncation the appended log would
+        duplicate them (post-mortem tooling assumes one row per epoch).
+        No-op when the file has no Epoch column or on non-chief
+        processes.
+        """
+        if not self.active or self.output_file is None:
+            return
+        path = pathlib.Path(self.output_file.name)
+        self.output_file.close()
+        lines = path.read_text().splitlines()
+        if lines:
+            hdr = lines[0].split("\t")
+            if "Epoch" in hdr:
+                ei = hdr.index("Epoch")
+                kept = [lines[0]]
+                for ln in lines[1:]:
+                    cells = ln.split("\t")
+                    try:
+                        if float(cells[ei]) > max_epoch:
+                            continue
+                    except (ValueError, IndexError):
+                        pass
+                    kept.append(ln)
+                lines = kept
+        path.write_text("\n".join(lines) + ("\n" if lines else ""))
+        self.output_file = open(path, "a")
+
     def close(self):
         if self.output_file is not None:
             self.output_file.close()

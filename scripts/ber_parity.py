@@ -47,24 +47,8 @@ REFERENCE_POINTS = [
 REFERENCE_FRAMES = 200  # transmissions per point in the reference run
 
 
-def frame_ci(errs: np.ndarray, n_bits: int, zcrit: float = 1.96):
-    """Frame-clustered BER mean and CI halfwidth (bits/bit)."""
-    b = errs.shape[0]
-    ber = errs.mean() / n_bits
-    half = zcrit * errs.std(ddof=1) / np.sqrt(b) / n_bits
-    return float(ber), float(half)
-
-
-def wilson(k: int, n: int, zcrit: float = 1.96):
-    """Wilson score interval for a binomial proportion."""
-    if n == 0:
-        return 0.0, 0.0, 1.0
-    p = k / n
-    z2 = zcrit * zcrit
-    den = 1 + z2 / n
-    centre = (p + z2 / (2 * n)) / den
-    half = zcrit * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / den
-    return p, max(0.0, centre - half), min(1.0, centre + half)
+from ldpc_tpu.sim.stats import (frame_ber_ci as frame_ci,
+                                wilson_interval as wilson)
 
 
 def main():

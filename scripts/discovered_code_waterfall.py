@@ -36,39 +36,23 @@ if os.environ.get("LDPC_TPU_PLATFORM"):
 
 import numpy as np
 
-STEPS_TSV = ("/root/repo/docs/experiments/search_wide/search_wide_s47/"
-             "steps.tsv")
+DEFAULT_STEPS_TSV = ("/root/repo/docs/experiments/search_wide/"
+                     "search_wide_s47/steps.tsv")
 
 
-def frame_ci(errs: np.ndarray, n_bits: int, zcrit: float = 1.96):
-    b = errs.shape[0]
-    ber = errs.mean() / n_bits
-    half = zcrit * errs.std(ddof=1) / np.sqrt(b) / n_bits
-    return float(ber), float(half)
+from ldpc_tpu.sim.stats import (frame_ber_ci as frame_ci,
+                                wilson_interval as wilson)
 
 
-def wilson(k: int, n: int, zcrit: float = 1.96):
-    if n == 0:
-        return 0.0, 0.0, 0.0
-    p = k / n
-    z2 = zcrit * zcrit
-    den = 1 + z2 / n
-    center = (p + z2 / (2 * n)) / den
-    half = zcrit * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / den
-    return float(p), float(max(0.0, center - half)), \
-        float(min(1.0, center + half))
-
-
-def load_best_code():
+def load_best_code(steps_tsv, name):
     import pandas as pd
 
     from ldpc_tpu.codes import uncompress
-    df = pd.read_csv(STEPS_TSV, sep="\t",
+    df = pd.read_csv(steps_tsv, sep="\t",
                      dtype={"observation_hex": str})
     best = df.loc[df["reward"].idxmax()]
     obs = np.frombuffer(bytes.fromhex(best["observation_hex"]), np.uint8)
-    return uncompress(obs, 2, 16, 511,
-                      name="rl_discovered_wide_s47"), float(best["reward"])
+    return uncompress(obs, 2, 16, 511, name=name), float(best["reward"])
 
 
 def sweep(code, snrs, words, iters, engine, seed):
@@ -103,27 +87,42 @@ def main():
     ap.add_argument("--engine", default="pallas")
     ap.add_argument("--seed", type=int, default=424242)
     ap.add_argument("--out", default="/root/repo/docs/discovered_code")
+    ap.add_argument("--steps-tsv", default=DEFAULT_STEPS_TSV,
+                    help="search log to take the max-reward code from")
+    ap.add_argument("--name", default="rl_discovered_wide_s47")
+    ap.add_argument("--baseline", default="near-earth",
+                    help="near-earth or instance:<path> (compare a new "
+                         "discovery against a previous one)")
+    ap.add_argument("--save-dir",
+                    default="/root/repo/docs/experiments/search_wide")
     args = ap.parse_args()
 
     from ldpc_tpu.codes import near_earth_code
     from ldpc_tpu.codes.io import save_code_instance
 
     on_cpu = os.environ.get("LDPC_TPU_PLATFORM") == "cpu"
-    best_code, train_reward = load_best_code()
-    ne = near_earth_code()
+    best_code, train_reward = load_best_code(args.steps_tsv, args.name)
+    if args.baseline.startswith("instance:"):
+        from ldpc_tpu.codes.io import load_code_instance
+        base_name = "baseline_instance"
+        base = load_code_instance(args.baseline[len("instance:"):])[0]
+    else:
+        base_name, base = "near_earth", near_earth_code()
     diff = [(mb, nb) for mb in range(2) for nb in range(16)
-            if best_code.shifts[mb][nb] != ne.shifts[mb][nb]]
+            if best_code.shifts[mb][nb] != base.shifts[mb][nb]]
     print(f"discovered code: train reward {train_reward:.4f}, differs "
-          f"from near-earth in blocks {diff}", flush=True)
+          f"from {base_name} in blocks {diff}", flush=True)
 
     out = {"train_reward": train_reward,
-           "reeval_reward": {"best": 0.81596, "near_earth": 0.80592,
-                             "source": "docs/rl_search_wide.md"},
+           "steps_tsv": args.steps_tsv, "baseline": args.baseline,
            "blocks_changed": diff, "max_iters": args.iters,
            "words_per_point": args.words, "engine": args.engine,
            "codes": {}}
+    if args.baseline == "near-earth" and args.steps_tsv == DEFAULT_STEPS_TSV:
+        out["reeval_reward"] = {"best": 0.81596, "near_earth": 0.80592,
+                                "source": "docs/rl_search_wide.md"}
     stats_best = None
-    for name, code in [("near_earth", ne), ("discovered", best_code)]:
+    for name, code in [(base_name, base), ("discovered", best_code)]:
         pts, dt, stats = sweep(code, args.snrs, args.words, args.iters,
                                args.engine, args.seed)
         out["codes"][name] = pts
@@ -139,7 +138,7 @@ def main():
 
     # where does the discovered code actually win?
     wins = []
-    for a, b in zip(out["codes"]["near_earth"], out["codes"]["discovered"]):
+    for a, b in zip(out["codes"][base_name], out["codes"]["discovered"]):
         better = (b["ber"] + b["ber_ci95_half"]
                   < a["ber"] - a["ber_ci95_half"])
         worse = (b["ber"] - b["ber_ci95_half"]
@@ -153,33 +152,32 @@ def main():
     if on_cpu:
         print("CPU smoke only — not writing artifacts", flush=True)
         return
-    inst = save_code_instance(
-        best_code, "/root/repo/docs/experiments/search_wide",
-        stats=stats_best)
+    inst = save_code_instance(best_code, args.save_dir, stats=stats_best)
     out["code_instance"] = os.path.basename(inst)
     with open(args.out + ".json", "w") as f:
         json.dump(out, f, indent=1)
 
-    rows = ["# The RL-discovered code: BER/FER waterfall vs near-earth",
+    rows = [f"# RL-discovered code: BER/FER waterfall vs {base_name}",
             "",
-            f"Best code of the 150-epoch wide-window search "
-            f"(docs/rl_search_wide.md; differs from near-earth in blocks "
-            f"{diff}), re-measured at {args.words} words/point, "
+            f"Max-reward code of `{args.steps_tsv}` (differs from "
+            f"{base_name} in blocks {diff}), re-measured at "
+            f"{args.words} words/point, "
             f"{args.iters} iterations ({args.engine} engine).  Saved as "
-            f"`experiments/search_wide/{out['code_instance']}` "
+            f"`{out['code_instance']}` "
             "(content-addressed, fileHandler.saveCodeInstance schema).", "",
-            "| Eb/N0 (dB) | near-earth BER (95% CI) | discovered BER "
-            "(95% CI) | near-earth FER | discovered FER | verdict |",
+            f"| Eb/N0 (dB) | {base_name} BER (95% CI) | discovered BER "
+            f"(95% CI) | {base_name} FER | discovered FER | verdict |",
             "|---|---|---|---|---|---|"]
-    for a, b, v in zip(out["codes"]["near_earth"],
+    for a, b, v in zip(out["codes"][base_name],
                        out["codes"]["discovered"], wins):
         rows.append(
             f"| {a['snr_db']} | {a['ber']:.4e} ± {a['ber_ci95_half']:.1e}"
             f" | {b['ber']:.4e} ± {b['ber_ci95_half']:.1e} | "
             f"{a['fer']:.4e} | {b['fer']:.4e} | {v['verdict']} |")
-    rows += ["", "Reward (∫(1−fitted BER line), 3.0-3.8 dB, 5-seed "
-             "re-eval): discovered 0.81596 ± 0.00119 vs near-earth "
-             "0.80592 ± 0.00042 (docs/rl_search_wide.md)."]
+    if "reeval_reward" in out:
+        rows += ["", "Reward (∫(1−fitted BER line), 3.0-3.8 dB, 5-seed "
+                 "re-eval): discovered 0.81596 ± 0.00119 vs near-earth "
+                 "0.80592 ± 0.00042 (docs/rl_search_wide.md)."]
     with open(args.out + ".md", "w") as f:
         f.write("\n".join(rows) + "\n")
     print(f"wrote {args.out}.json / .md + {inst}", flush=True)

@@ -40,15 +40,10 @@ if os.environ.get("LDPC_TPU_PLATFORM"):
 import numpy as np
 
 
-def wilson(k: int, n: int, z: float = 1.96) -> tuple[float, float]:
-    """Wilson 95% interval for a binomial proportion (frames)."""
-    if n == 0:
-        return (0.0, 1.0)
-    p = k / n
-    denom = 1 + z * z / n
-    centre = (p + z * z / (2 * n)) / denom
-    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
-    return (max(0.0, centre - half), min(1.0, centre + half))
+def wilson(k: int, n: int) -> tuple[float, float]:
+    """Wilson 95% interval (lo, hi) — canonical impl in sim/stats.py."""
+    from ldpc_tpu.sim.stats import wilson_interval
+    return wilson_interval(k, n)[1:]
 
 
 def main():

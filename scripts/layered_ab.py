@@ -50,15 +50,10 @@ if os.environ.get("LDPC_TPU_PLATFORM"):
 import jax.numpy as jnp
 
 
-def wilson(k: int, n: int, z: float = 1.96) -> tuple[float, float]:
-    """Wilson score interval for a binomial proportion."""
-    if n == 0:
-        return (0.0, 1.0)
-    p = k / n
-    d = 1 + z * z / n
-    c = p + z * z / (2 * n)
-    h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
-    return ((c - h) / d, (c + h) / d)
+def wilson(k: int, n: int) -> tuple[float, float]:
+    """Wilson 95% interval (lo, hi) — canonical impl in sim/stats.py."""
+    from ldpc_tpu.sim.stats import wilson_interval
+    return wilson_interval(k, n)[1:]
 
 
 def main():

@@ -35,13 +35,6 @@ if os.environ.get("LDPC_TPU_PLATFORM"):
 import numpy as np
 
 
-def frame_ci(errs: np.ndarray, n_bits: int, zcrit: float = 1.96):
-    b = errs.shape[0]
-    ber = errs.mean() / n_bits
-    half = zcrit * errs.std(ddof=1) / np.sqrt(b) / n_bits
-    return float(ber), float(half)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--words", type=int, default=4096)
@@ -55,6 +48,7 @@ def main():
 
     from ldpc_tpu.codes import near_earth_code, wifi_code
     from ldpc_tpu.sim.evaluate import evaluate_code
+    from ldpc_tpu.sim.stats import frame_ber_ci as frame_ci
 
     cases = {
         # operating + waterfall-edge points per code family

@@ -108,7 +108,8 @@ def main():
     if os.environ.get("LDPC_TPU_PLATFORM") == "cpu":
         print("CPU smoke only — not writing artifacts", flush=True)
         return
-    base = next(r["env_steps_per_s"] for r in rows if r["envs"] == 1)
+    base = next((r["env_steps_per_s"] for r in rows if r["envs"] == 1),
+                rows[0]["env_steps_per_s"])
     out = {"config": {"code": args.code, "tx": args.tx,
                       "steps": args.steps}, "rows": rows,
            "single_env_steps_per_s": base}

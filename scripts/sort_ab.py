@@ -93,8 +93,12 @@ def main():
         times = {n: [] for n in steps}
         for t in range(args.trials):
             for n, step in steps.items():
+                # deterministic per (trial, variant, snr) — Python hash()
+                # is PYTHONHASHSEED-randomized and would make the artifact
+                # non-reproducible (sched_ab/split_ab use integer keys too)
                 key = jax.random.fold_in(
-                    jax.random.key(7919 * t), hash((n, snr)) % (2 ** 31))
+                    jax.random.key(7919 * t + (1 if n == "sorted" else 0)),
+                    int(round(snr * 100)))
                 t0 = time.time()
                 jax.device_get(step(
                     key, jnp.full((args.batch,), snr, jnp.float32)))

@@ -261,3 +261,36 @@ def test_ppo_resume_exact_multi_env(tmp_path):
     run(3, tmp_path / "split", tmp_path / "ckpt_split", resume=True)
     assert (tmp_path / "split" / "steps.tsv").read_text() == \
         (tmp_path / "full" / "steps.tsv").read_text()
+
+
+def test_ppo_resume_between_checkpoints_truncates_logs(tmp_path):
+    """A crash BETWEEN checkpoints leaves steps.tsv/progress.txt rows for
+    epochs newer than the restored state; resume must drop them so the
+    merged logs hold exactly one row per (epoch, step) — and the re-run
+    epochs must reproduce the uninterrupted run exactly."""
+    import shutil
+
+    env_fn = _tiny_env_fn(seed=8)
+    ac_cfg = ActorCriticConfig(obs_dim=env_fn().observation_space.shape[0],
+                               **_TINY_AC)
+
+    def run(epochs, out, ckpt, resume=False):
+        cfg = PPOConfig(steps_per_epoch=2, epochs=epochs, train_pi_iters=1,
+                        train_v_iters=1, save_freq=1, seed=21)
+        ppo(env_fn, cfg, ac_cfg, output_dir=out, checkpoint_dir=ckpt,
+            resume=resume)
+
+    run(4, tmp_path / "full", tmp_path / "ckpt_full")
+    run(3, tmp_path / "split", tmp_path / "ckpt_split")
+    # simulate a crash after epoch 1's checkpoint: epochs 2 was logged
+    # but its checkpoint is "lost"
+    for step in ("2",):
+        shutil.rmtree(tmp_path / "ckpt_split" / step)
+    run(4, tmp_path / "split", tmp_path / "ckpt_split", resume=True)
+
+    full = (tmp_path / "full" / "steps.tsv").read_text()
+    split = (tmp_path / "split" / "steps.tsv").read_text()
+    assert split == full  # no duplicated epoch-2 rows, exact continuation
+    prog = (tmp_path / "split" / "progress.txt").read_text().splitlines()
+    epochs_logged = [row.split("\t")[0] for row in prog[1:]]
+    assert epochs_logged == ["0", "1", "2", "3"]
