@@ -145,7 +145,7 @@ def main():
                  > a["ber"] + a["ber_ci95_half"])
         wins.append({"snr_db": a["snr_db"],
                      "verdict": ("discovered" if better else
-                                 "near_earth" if worse else "tie")})
+                                 base_name if worse else "tie")})
     out["per_point_verdicts"] = wins
     print("verdicts:", json.dumps(wins), flush=True)
 
