@@ -64,7 +64,7 @@ class LdpcCodeSearchEnv:
     def __init__(self,
                  code: QCCode | None = None,
                  snr_points=DEFAULT_SNR_POINTS,
-                 num_transmissions: int = DEFAULT_NUM_TRANSMISSIONS,
+                 num_transmissions=DEFAULT_NUM_TRANSMISSIONS,
                  num_iterations: int = DEFAULT_NUM_ITERATIONS,
                  seed: int = 7134066,
                  replacement_only: bool = False,
@@ -73,7 +73,9 @@ class LdpcCodeSearchEnv:
                  dmax_cn_cap: int = 48,
                  dmax_vn_cap: int = 18,
                  decoder_kind: str = "min-sum",
-                 decoder_backend: str = "dynamic"):
+                 decoder_backend: str = "dynamic",
+                 floor_penalty: float = 0.0,
+                 floor_snr_index: int = -1):
         self.reset_value = code if code is not None else near_earth_code()
         self.state = self.reset_value
         self.z = self.state.z
@@ -89,19 +91,45 @@ class LdpcCodeSearchEnv:
         self.observation_space = Uint8Space(obs.shape[0])
 
         self.snr_points = np.asarray(snr_points, np.float64)
-        self.num_transmissions = int(num_transmissions)
+        # Per-SNR-point transmission counts: an int applies to every point
+        # (reference semantics); a sequence gives each point its own count
+        # — the TPU-first asymmetric-evaluation trick: thousands of words
+        # at the HIGH-SNR (floor) points cost almost nothing because they
+        # converge in ~4-6 iterations, making floor-aware rewards
+        # measurable inside an RL step.
+        if np.ndim(num_transmissions) == 0:
+            tx = np.full(len(self.snr_points), int(num_transmissions),
+                         np.int64)
+        else:
+            tx = np.asarray(num_transmissions, np.int64)
+            if tx.shape[0] != len(self.snr_points):
+                raise ValueError(
+                    f"num_transmissions sequence needs one entry per SNR "
+                    f"point: {tx.shape[0]} vs {len(self.snr_points)}")
+        self.tx_counts = tx
+        self.num_transmissions = int(tx[0]) if (tx == tx[0]).all() \
+            else tuple(int(t) for t in tx)
         self.num_iterations = int(num_iterations)
         self.time_budget_s = float(time_budget_s)
+        # Floor-aware reward shaping: subtract ``floor_penalty * FER`` at
+        # snr_points[floor_snr_index] from the fitted-line reward.  The
+        # plain integral is waterfall-dominated, so iterated searches buy
+        # waterfall with error floor (docs/boot_code.md); the penalty
+        # makes the floor part of the objective.  0.0 = reference reward.
+        self.floor_penalty = float(floor_penalty)
+        self.floor_snr_index = int(floor_snr_index)
         # The PRIMARY episode terminator is the decode-iteration budget:
         # unlike the reference's wall-clock budget (ldpc_env.py:25,260-262,
         # kept as a secondary circuit breaker via time_budget_s), iteration
         # counts are deterministic, so episode lengths reproduce across
         # backends, batching modes and hardware.  "auto" re-expresses the
         # reference's 64*numTransmissions-second constant in iterations:
-        # one unit of their budget ~ one full-budget transmission decode.
+        # one unit of their budget ~ one full-budget transmission decode
+        # (sequence counts: their mean, so deep-floor points don't shrink
+        # episodes).
         if iteration_budget == "auto":
-            iteration_budget = (64 * self.num_transmissions
-                                * self.num_iterations)
+            iteration_budget = int(64 * float(tx.mean())
+                                   * self.num_iterations)
         self.iteration_budget = iteration_budget
         self.reward_for_illegal_action = BAD_CANDIDATE_REWARD
         self.dmax_cn_cap = int(dmax_cn_cap)
@@ -150,8 +178,7 @@ class LdpcCodeSearchEnv:
 
         from ..sim.channel import awgn
 
-        t = self.num_transmissions
-        snr_per_word = np.repeat(self.snr_points, t)
+        snr_per_word = np.repeat(self.snr_points, self.tx_counts)
         b = snr_per_word.shape[0]
         key = jax.random.key(int(self.rng.randint(0, 2 ** 31 - 1)))
         clean = jnp.full((b, self.state.n), -1.0, jnp.float32)
@@ -235,6 +262,13 @@ class LdpcCodeSearchEnv:
             self.scatter_snr, self.scatter_ber = scatter_snr, scatter_ber
             self.ber_points = ber_data
             reward = calc_reward(scatter_snr, scatter_ber, self.snr_points)
+            if self.floor_penalty:
+                snr_f = self.snr_points[self.floor_snr_index]
+                sel = stats.column("snr") == snr_f
+                w = stats.column("weight")[sel].sum()
+                fer = (stats.column("frame_errors")[sel].sum() / w
+                       if w else 0.0)
+                reward -= self.floor_penalty * float(fer)
         else:
             reward = self.reward_for_illegal_action
 

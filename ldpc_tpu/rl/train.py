@@ -71,7 +71,16 @@ def main(argv=None):
     parser.add_argument("--exp_name", type=str, default="ppo")
     parser.add_argument("--data_dir", type=str,
                         default=f"/tmp/experiments/{int(time.time())}")
-    parser.add_argument("--num_transmissions", type=int, default=10)
+    parser.add_argument("--num_transmissions", type=int, nargs="+",
+                        default=[10],
+                        help="per (SNR, step); one value applies to every "
+                             "SNR point, N values give each point its own "
+                             "count (deep floor points are nearly free — "
+                             "high-SNR words converge in ~4-6 iterations)")
+    parser.add_argument("--floor_penalty", type=float, default=0.0,
+                        help="subtract penalty * FER(highest SNR point) "
+                             "from the reward (floor-aware search; the "
+                             "plain integral is waterfall-dominated)")
     parser.add_argument("--snr", type=float, nargs="+", default=None,
                         help="env SNR points (default 3.0 3.2 3.4, "
                              "ldpc_env.py:88; e.g. 3.0 3.2 3.4 3.6 3.8 "
@@ -105,11 +114,15 @@ def main(argv=None):
                    f"{args.exp_name}_s{args.seed}",
         exp_name=args.exp_name, append=args.resume)
     env_kw = {} if args.snr is None else {"snr_points": tuple(args.snr)}
+    tx = (args.num_transmissions[0] if len(args.num_transmissions) == 1
+          else tuple(args.num_transmissions))
+    if args.floor_penalty:
+        env_kw["floor_penalty"] = args.floor_penalty
     if args.start_instance:
         from ..codes.io import load_code_instance
         env_kw["code"] = load_code_instance(args.start_instance)[0]
     return ppo(lambda: LdpcCodeSearchEnv(
-        seed=args.seed, num_transmissions=args.num_transmissions, **env_kw),
+        seed=args.seed, num_transmissions=tx, **env_kw),
         ppo_cfg, logger=logger, num_envs=args.num_envs, resume=args.resume,
         checkpoint_dir=f"{args.data_dir}/{args.exp_name}/checkpoints")
 

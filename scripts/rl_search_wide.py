@@ -55,7 +55,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--steps", type=int, default=32)
-    ap.add_argument("--num-transmissions", type=int, default=64)
+    ap.add_argument("--num-transmissions", type=int, nargs="+",
+                    default=[64],
+                    help="one value for all SNR points, or one per point")
+    ap.add_argument("--floor-penalty", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=31)
     ap.add_argument("--snr", type=float, nargs="+",
                     default=[3.0, 3.2, 3.4, 3.6, 3.8])
@@ -105,7 +108,8 @@ def main():
     else:
         train.main([
             "--epochs", str(args.epochs), "--steps", str(args.steps),
-            "--num_transmissions", str(args.num_transmissions),
+            "--num_transmissions", *[str(t) for t in args.num_transmissions],
+            "--floor_penalty", str(args.floor_penalty),
             "--entropy_bonus", "--seed", str(args.seed),
             "--num_envs", str(args.num_envs),
             "--exp_name", args.exp_name, "--data_dir", args.data_dir,

@@ -253,3 +253,35 @@ def test_environment_vector():
     assert all(i["legal"] for i in infos)
     # same action, same dynamics, different seeds -> both evaluated
     assert vec.envs[0].state.shifts == vec.envs[1].state.shifts
+
+
+def test_env_per_point_transmissions_and_floor_penalty():
+    """Asymmetric per-SNR transmission counts + floor-aware reward (r4):
+    deep high-SNR evaluation makes FER at the floor point part of the
+    objective; penalty=0 reproduces the reference reward exactly."""
+    from ldpc_tpu.codes import wifi_code
+    from ldpc_tpu.envs import LdpcCodeSearchEnv
+
+    def mk(penalty):
+        return LdpcCodeSearchEnv(
+            code=wifi_code(), snr_points=(1.0, 4.5),
+            num_transmissions=(4, 32), num_iterations=6, seed=3,
+            dmax_cn_cap=32, dmax_vn_cap=12, floor_penalty=penalty)
+
+    base, pen = mk(0.0), mk(40.0)
+    assert base.tx_counts.tolist() == [4, 32]
+    row = np.zeros(base.z, np.int32)
+    row[[3, 17, 42]] = 1   # legal: 3-hot replacement at block (0, 0)
+    a = np.concatenate([np.zeros(base.x_bits + base.y_bits, np.int32), row])
+    obs0, r0, d0, i0 = base.step(a)
+    obs1, r1, d1, i1 = pen.step(a)
+    # same env randomness (same seed/state) -> same stats; at 1.0 dB the
+    # wifi code fails hard, but the FLOOR point is 4.5 dB where FER ~ 0,
+    # so the two rewards differ by exactly penalty * fer(4.5)
+    sel = pen.ber_stats.column("snr") == 4.5
+    fer = (pen.ber_stats.column("frame_errors")[sel].sum()
+           / pen.ber_stats.column("weight")[sel].sum())
+    assert i0["legal"] and i1["legal"]
+    np.testing.assert_allclose(r1, r0 - 40.0 * fer, rtol=1e-12)
+    # the batch really carried 4 + 32 words
+    assert pen.ber_stats.column("weight").sum() == 36
