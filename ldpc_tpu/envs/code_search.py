@@ -75,7 +75,8 @@ class LdpcCodeSearchEnv:
                  decoder_kind: str = "min-sum",
                  decoder_backend: str = "dynamic",
                  floor_penalty: float = 0.0,
-                 floor_snr_index: int = -1):
+                 floor_snr_index: int = -1,
+                 phase1_iterations: int | None = None):
         self.reset_value = code if code is not None else near_earth_code()
         self.state = self.reset_value
         self.z = self.state.z
@@ -136,6 +137,15 @@ class LdpcCodeSearchEnv:
         self.dmax_vn_cap = int(dmax_vn_cap)
         self.decoder_kind = decoder_kind
         self.decoder_backend = decoder_backend
+        # Host-staged env decode (dynamic backend): decode the step's
+        # batch at a small cap first and re-decode only the failures at
+        # the full budget — per-word results identical by convergence
+        # latching, but a deep floor point (thousands of easy words plus
+        # a ~50%-probability straggler) no longer charges the whole batch
+        # the full 50 sweeps.  None = single-pass (reference semantics,
+        # same results either way).
+        self.phase1_iterations = (int(phase1_iterations)
+                                  if phase1_iterations else None)
         self.rng = np.random.RandomState(seed)
         self.seed_value = seed
 
@@ -153,15 +163,62 @@ class LdpcCodeSearchEnv:
 
         if self.decoder_backend == "dynamic":
             from ..ops.dynamic import dynamic_plan, make_dynamic_decoder
-            dec = make_dynamic_decoder(
-                code.z, code.block_rows, code.block_cols,
-                self.dmax_cn_cap, self.dmax_vn_cap, self.num_iterations,
-                kind=self.decoder_kind)
+
+            def dec_for(iters):
+                return make_dynamic_decoder(
+                    code.z, code.block_rows, code.block_cols,
+                    self.dmax_cn_cap, self.dmax_vn_cap, iters,
+                    kind=self.decoder_kind)
+
             plan = dynamic_plan(code, self.dmax_cn_cap, self.dmax_vn_cap)
-            return dec(plan, jnp.asarray(llr))
+            llr = jnp.asarray(llr)
+            if (not self.phase1_iterations
+                    or self.phase1_iterations >= self.num_iterations):
+                return dec_for(self.num_iterations)(plan, llr)
+            return self._staged_dynamic_decode(dec_for, plan, llr)
         from ..ops.decoder import decoder_for_code
         return decoder_for_code(code, self.num_iterations,
                                 kind=self.decoder_kind)(jnp.asarray(llr))
+
+    def _staged_dynamic_decode(self, dec_for, plan, llr):
+        """Two-phase host-staged decode: phase-1 cap for the whole batch,
+        full-budget re-decode of the failures only (fixed-size chunks so
+        at most two phase-2 shapes ever compile).  Per-word results are
+        IDENTICAL to the single-pass decode (convergence latching: a word
+        converging within phase 1 is final; a failed word's re-decode is
+        the deterministic full decode of the same LLRs)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.decoder import DecodeResult
+
+        res1 = dec_for(self.phase1_iterations)(plan, llr)
+        success = np.asarray(res1.success).copy()
+        failed = np.flatnonzero(~success)
+        if failed.size == 0:
+            return res1
+        hard = np.asarray(res1.hard).copy()
+        iters = np.asarray(res1.iterations).copy()
+        b = llr.shape[0]
+        dec2 = dec_for(self.num_iterations)
+        if failed.size > 0.25 * b:
+            res2 = dec2(plan, llr)
+            redo = ~success
+            hard[redo] = np.asarray(res2.hard)[redo]
+            iters[redo] = np.asarray(res2.iterations)[redo]
+            success[redo] = np.asarray(res2.success)[redo]
+        else:
+            chunk = min(256, b)
+            for lo in range(0, failed.size, chunk):
+                part = failed[lo:lo + chunk]
+                idx = np.concatenate(
+                    [part, np.zeros(chunk - part.size, np.int64)])
+                res2 = dec2(plan, jnp.take(llr, jnp.asarray(idx), axis=0))
+                hard[part] = np.asarray(res2.hard)[:part.size]
+                iters[part] = np.asarray(res2.iterations)[:part.size]
+                success[part] = np.asarray(res2.success)[:part.size]
+        return DecodeResult(hard=hard, iterations=iters, success=success,
+                            soft=np.zeros((b, 0), np.float32))
 
     def _degrees_ok(self, code: QCCode) -> bool:
         return (max(code.row_degrees()) <= self.dmax_cn_cap and

@@ -84,7 +84,12 @@ class EnvironmentVector:
         keys = {(e.decoder_backend, e.state.z, e.state.block_rows,
                  e.state.block_cols, e.dmax_cn_cap, e.dmax_vn_cap,
                  e.num_iterations, e.decoder_kind, e.state.n,
-                 tuple(e.snr_points), e.num_transmissions)
+                 tuple(e.snr_points), e.num_transmissions,
+                 # fused stepping decodes at the full budget in one
+                 # dispatch (identical results; the host-staged
+                 # phase1_iterations optimization applies to the
+                 # sequential path only)
+                 getattr(e, "phase1_iterations", None))
                 for e in self.envs}
         return (len(keys) == 1 and len(self.envs) > 1
                 and self.envs[0].decoder_backend == "dynamic")

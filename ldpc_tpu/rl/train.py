@@ -77,6 +77,10 @@ def main(argv=None):
                              "SNR point, N values give each point its own "
                              "count (deep floor points are nearly free — "
                              "high-SNR words converge in ~4-6 iterations)")
+    parser.add_argument("--phase1_iterations", type=int, default=None,
+                        help="host-staged env decode: phase-1 cap; only "
+                             "failures pay the full budget (identical "
+                             "results, big win for deep floor points)")
     parser.add_argument("--floor_penalty", type=float, default=0.0,
                         help="subtract penalty * FER(highest SNR point) "
                              "from the reward (floor-aware search; the "
@@ -118,6 +122,8 @@ def main(argv=None):
           else tuple(args.num_transmissions))
     if args.floor_penalty:
         env_kw["floor_penalty"] = args.floor_penalty
+    if args.phase1_iterations:
+        env_kw["phase1_iterations"] = args.phase1_iterations
     if args.start_instance:
         from ..codes.io import load_code_instance
         env_kw["code"] = load_code_instance(args.start_instance)[0]

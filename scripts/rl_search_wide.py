@@ -59,6 +59,7 @@ def main():
                     default=[64],
                     help="one value for all SNR points, or one per point")
     ap.add_argument("--floor-penalty", type=float, default=0.0)
+    ap.add_argument("--phase1-iterations", type=int, default=None)
     ap.add_argument("--seed", type=int, default=31)
     ap.add_argument("--snr", type=float, nargs="+",
                     default=[3.0, 3.2, 3.4, 3.6, 3.8])
@@ -110,6 +111,8 @@ def main():
             "--epochs", str(args.epochs), "--steps", str(args.steps),
             "--num_transmissions", *[str(t) for t in args.num_transmissions],
             "--floor_penalty", str(args.floor_penalty),
+            *(["--phase1_iterations", str(args.phase1_iterations)]
+              if args.phase1_iterations else []),
             "--entropy_bonus", "--seed", str(args.seed),
             "--num_envs", str(args.num_envs),
             "--exp_name", args.exp_name, "--data_dir", args.data_dir,

@@ -285,3 +285,28 @@ def test_env_per_point_transmissions_and_floor_penalty():
     np.testing.assert_allclose(r1, r0 - 40.0 * fer, rtol=1e-12)
     # the batch really carried 4 + 32 words
     assert pen.ber_stats.column("weight").sum() == 36
+
+
+def test_env_staged_dynamic_decode_identical():
+    """phase1_iterations (host-staged env decode) yields IDENTICAL step
+    results to the single-pass env — rewards, stats and budgets — while
+    only the failures pay the full budget."""
+    from ldpc_tpu.codes import wifi_code
+    from ldpc_tpu.envs import LdpcCodeSearchEnv
+
+    kw = dict(code=wifi_code(), snr_points=(2.0, 4.5),
+              num_transmissions=(12, 12), num_iterations=12, seed=5,
+              dmax_cn_cap=32, dmax_vn_cap=12)
+    plain = LdpcCodeSearchEnv(**kw)
+    staged = LdpcCodeSearchEnv(phase1_iterations=4, **kw)
+    row = np.zeros(plain.z, np.int32)
+    row[[1, 9, 30]] = 1
+    a = np.concatenate([np.zeros(plain.x_bits + plain.y_bits, np.int32),
+                        row])
+    _, r0, _, i0 = plain.step(a)
+    _, r1, _, i1 = staged.step(a)
+    assert r0 == r1
+    assert (i0["accumulated_iterations"] == i1["accumulated_iterations"])
+    for colname in ("errors_decoded", "iterations", "success"):
+        np.testing.assert_array_equal(plain.ber_stats.column(colname),
+                                      staged.ber_stats.column(colname))
