@@ -1,0 +1,137 @@
+"""Top-K re-evaluated selection for the floor-aware search (r4).
+
+floor_search_analysis exposed a selection pathology: the max TRAIN
+penalized reward (0.841) came from a code whose true penalized score is
+0.804 — with 2,048 floor words/step a FER-6e-4 code draws zero frame
+errors ~30% of the time, so argmax-of-noisy-scores systematically picks
+lucky draws (winner's curse).  The fix: re-evaluate the TOP-K distinct
+candidates at higher fidelity under the penalized objective and pick the
+best re-evaluated one.
+
+Writes docs/rl_search_floor_topk.json and appends the verdict table to
+docs/rl_search_floor.md.
+
+Run ON THE REAL CHIP:  python scripts/floor_topk_select.py [--topk 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+if os.environ.get("LDPC_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LDPC_TPU_PLATFORM"])
+
+import numpy as np
+
+EXP = "/root/repo/docs/experiments"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-tsv",
+                    default=f"{EXP}/search_floor/search_floor_s64/"
+                            "steps.tsv")
+    ap.add_argument("--topk", type=int, default=12)
+    ap.add_argument("--penalty", type=float, default=30.0)
+    ap.add_argument("--floor-snr", type=float, default=3.8)
+    ap.add_argument("--floor-words", type=int, default=65536)
+    ap.add_argument("--reeval-tx", type=int, default=256)
+    ap.add_argument("--reeval-seeds", type=int, nargs="+",
+                    default=[21, 22, 23])
+    ap.add_argument("--snr", type=float, nargs="+",
+                    default=[3.0, 3.2, 3.4, 3.6, 3.8])
+    ap.add_argument("--out",
+                    default="/root/repo/docs/rl_search_floor_topk.json")
+    args = ap.parse_args()
+
+    import pandas as pd
+
+    from ldpc_tpu.codes import uncompress
+    from ldpc_tpu.codes.io import save_code_instance
+    from ldpc_tpu.sim.evaluate import evaluate_code
+    from ldpc_tpu.sim.stats import wilson_interval
+    sys.path.insert(0, "/root/repo/scripts")
+    from rl_search_wide import reeval_reward
+
+    df = pd.read_csv(args.steps_tsv, sep="\t",
+                     dtype={"observation_hex": str})
+    df = df[df["reward"] > 0].sort_values("reward", ascending=False)
+    cands = df.drop_duplicates("observation_hex").head(args.topk)
+    print(f"top-{len(cands)} distinct candidates, train rewards "
+          f"{cands['reward'].max():.4f}..{cands['reward'].min():.4f}",
+          flush=True)
+
+    rows = []
+    for rank, (_, row) in enumerate(cands.iterrows()):
+        obs = np.frombuffer(bytes.fromhex(row["observation_hex"]),
+                            np.uint8)
+        code = uncompress(obs, 2, 16, 511,
+                          name=f"floor_topk_{rank}")
+        t0 = time.time()
+        rm, rs, _ = reeval_reward(code, tuple(args.snr), args.reeval_tx,
+                                  50, args.reeval_seeds)
+        stats = evaluate_code(code, [args.floor_snr], args.floor_words,
+                              50, seed=616161, batch_size=16384,
+                              staged=True, engine="pallas")
+        sel = stats.column("snr") == args.floor_snr
+        fe = int(stats.column("frame_errors")[sel].sum())
+        words = int(stats.column("weight")[sel].sum())
+        fer, flo, fhi = wilson_interval(fe, words)
+        rows.append({
+            "rank": rank, "train_reward": float(row["reward"]),
+            "epoch": int(row["epoch"]),
+            "observation_hex": row["observation_hex"],
+            "reward_mean": rm, "reward_std": rs,
+            "fer_floor": fer, "fer_wilson95": [flo, fhi],
+            "penalized": rm - args.penalty * fer,
+        })
+        print(f"[{rank}] train {row['reward']:.4f} -> reward {rm:.5f} ± "
+              f"{rs:.5f}  FER {fer:.2e}  penalized "
+              f"{rows[-1]['penalized']:.5f}  ({time.time() - t0:.0f}s)",
+              flush=True)
+
+    rows.sort(key=lambda r: -r["penalized"])
+    best = rows[0]
+    code = uncompress(np.frombuffer(
+        bytes.fromhex(best["observation_hex"]), np.uint8), 2, 16, 511,
+        name="rl_discovered_floor_topk")
+    inst = save_code_instance(code, f"{EXP}/search_floor")
+    out = {"topk": args.topk, "penalty": args.penalty,
+           "floor_words": args.floor_words, "candidates": rows,
+           "best_instance": os.path.basename(inst)}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+
+    md = ["", "## Top-K re-evaluated selection (the winner's-curse fix)",
+          "",
+          f"Re-scoring the top {len(rows)} DISTINCT candidates at higher "
+          f"fidelity ({args.reeval_tx} tx x {len(args.reeval_seeds)} "
+          f"seeds for the reward, {args.floor_words:,} words for "
+          "FER@3.8) and selecting on the re-evaluated penalized "
+          "objective:", "",
+          "| rank (by true penalized) | train (noisy) | true reward | "
+          "FER@3.8 | true penalized |", "|---|---|---|---|---|"]
+    for r in rows[:6]:
+        md.append(f"| {rows.index(r)} | {r['train_reward']:.4f} | "
+                  f"{r['reward_mean']:.5f} ± {r['reward_std']:.5f} | "
+                  f"{r['fer_floor']:.2e} | {r['penalized']:.5f} |")
+    md += ["", f"Selected instance: `experiments/search_floor/"
+           f"{out['best_instance']}` (true penalized "
+           f"{best['penalized']:.5f} vs s47's 0.81596, boot's 0.81176, "
+           "near-earth's 0.80592)."]
+    with open("/root/repo/docs/rl_search_floor.md", "a") as f:
+        f.write("\n".join(md) + "\n")
+    print(f"wrote {args.out}; best penalized {best['penalized']:.5f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
