@@ -41,6 +41,22 @@ def _read_steps(file_path):
                        dtype={"observation_hex": str})
 
 
+def learning_windows(df, num: int = 10):
+    """First/mid/last learning-curve windows over a steps DataFrame
+    (reward column): [{window, mean, max, frac_positive}] — the summary
+    convention shared by every search artifact."""
+    n_ep = int(df["epoch"].max()) + 1
+    w = max(1, n_ep // num)
+    out = []
+    for lo, hi in [(0, w), ((n_ep - w) // 2, (n_ep + w) // 2),
+                   (n_ep - w, n_ep)]:
+        sub = df[(df["epoch"] >= lo) & (df["epoch"] < hi)]["reward"]
+        out.append({"window": f"epochs {lo}-{hi}",
+                    "mean": float(sub.mean()), "max": float(sub.max()),
+                    "frac_positive": float((sub > 0).mean())})
+    return out
+
+
 def post_mortem_best_codes(file_path, block_rows: int = 2,
                            block_cols: int = 16, z: int = 511,
                            snr_points=POST_MORTEM_SNR_POINTS,

@@ -187,7 +187,6 @@ class LdpcCodeSearchEnv:
         IDENTICAL to the single-pass decode (convergence latching: a word
         converging within phase 1 is final; a failed word's re-decode is
         the deterministic full decode of the same LLRs)."""
-        import jax
         import jax.numpy as jnp
 
         from ..ops.decoder import DecodeResult

@@ -61,9 +61,9 @@ def main():
     ap.add_argument("--out", default="/root/repo/docs/rl_search_floor")
     args = ap.parse_args()
 
-    import pandas as pd
-
-    from ldpc_tpu.analysis.postprocess import action_heatmaps
+    from ldpc_tpu.analysis.postprocess import (_read_steps,
+                                               action_heatmaps,
+                                               learning_windows)
     from ldpc_tpu.codes import near_earth_code, uncompress
     from ldpc_tpu.codes.io import load_code_instance, save_code_instance
     from ldpc_tpu.sim.evaluate import evaluate_code
@@ -71,22 +71,14 @@ def main():
     sys.path.insert(0, "/root/repo/scripts")
     from rl_search_wide import reeval_reward
 
-    df = pd.read_csv(args.steps_tsv, sep="\t",
-                     dtype={"observation_hex": str})
+    df = _read_steps(args.steps_tsv)
     n_ep = int(df["epoch"].max()) + 1
-    w = max(1, n_ep // 10)
-    windows = []
-    for lo, hi in [(0, w), ((n_ep - w) // 2, (n_ep + w) // 2),
-                   (n_ep - w, n_ep)]:
-        sub = df[(df["epoch"] >= lo) & (df["epoch"] < hi)]["reward"]
-        windows.append({"window": f"epochs {lo}-{hi}",
-                        "mean": float(sub.mean()),
-                        "max": float(sub.max()),
-                        "frac_positive": float((sub > 0).mean())})
+    windows = learning_windows(df)
     best = df.loc[df["reward"].idxmax()]
     obs = np.frombuffer(bytes.fromhex(best["observation_hex"]), np.uint8)
     floor_code = uncompress(obs, 2, 16, 511, name="rl_discovered_floor_s64")
-    action_heatmaps(args.steps_tsv, save_figures=True)
+    if os.environ.get("LDPC_TPU_PLATFORM") != "cpu":
+        action_heatmaps(args.steps_tsv, save_figures=True)
 
     codes = {
         "near_earth": near_earth_code(),

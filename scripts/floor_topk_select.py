@@ -52,8 +52,7 @@ def main():
                     default="/root/repo/docs/rl_search_floor_topk.json")
     args = ap.parse_args()
 
-    import pandas as pd
-
+    from ldpc_tpu.analysis.postprocess import _read_steps
     from ldpc_tpu.codes import uncompress
     from ldpc_tpu.codes.io import save_code_instance
     from ldpc_tpu.sim.evaluate import evaluate_code
@@ -61,8 +60,7 @@ def main():
     sys.path.insert(0, "/root/repo/scripts")
     from rl_search_wide import reeval_reward
 
-    df = pd.read_csv(args.steps_tsv, sep="\t",
-                     dtype={"observation_hex": str})
+    df = _read_steps(args.steps_tsv)
     df = df[df["reward"] > 0].sort_values("reward", ascending=False)
     cands = df.drop_duplicates("observation_hex").head(args.topk)
     print(f"top-{len(cands)} distinct candidates, train rewards "
@@ -100,6 +98,9 @@ def main():
 
     rows.sort(key=lambda r: -r["penalized"])
     best = rows[0]
+    if os.environ.get("LDPC_TPU_PLATFORM") == "cpu":
+        print("CPU smoke only — not writing artifacts", flush=True)
+        return
     code = uncompress(np.frombuffer(
         bytes.fromhex(best["observation_hex"]), np.uint8), 2, 16, 511,
         name="rl_discovered_floor_topk")
@@ -119,8 +120,8 @@ def main():
           "objective:", "",
           "| rank (by true penalized) | train (noisy) | true reward | "
           "FER@3.8 | true penalized |", "|---|---|---|---|---|"]
-    for r in rows[:6]:
-        md.append(f"| {rows.index(r)} | {r['train_reward']:.4f} | "
+    for i, r in enumerate(rows[:6]):
+        md.append(f"| {i} | {r['train_reward']:.4f} | "
                   f"{r['reward_mean']:.5f} ± {r['reward_std']:.5f} | "
                   f"{r['fer_floor']:.2e} | {r['penalized']:.5f} |")
     md += ["", f"Selected instance: `experiments/search_floor/"

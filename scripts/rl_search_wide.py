@@ -130,19 +130,10 @@ def main():
     train_s = time.time() - t0
 
     # --- learning curve summary + heatmaps ---
+    from ldpc_tpu.analysis.postprocess import learning_windows
     df = _read_steps(tsv)
     n_ep = df["epoch"].max() + 1
-    w = max(1, n_ep // 10)
-    windows = []
-    for label, lo, hi in [("first", 0, w), ("mid", (n_ep - w) // 2,
-                                            (n_ep + w) // 2),
-                          ("last", n_ep - w, n_ep)]:
-        sub = df[(df["epoch"] >= lo) & (df["epoch"] < hi)]["reward"]
-        windows.append({
-            "window": f"epochs {lo}-{hi}", "mean": float(sub.mean()),
-            "max": float(sub.max()),
-            "frac_positive": float((sub > 0).mean()),
-        })
+    windows = learning_windows(df)
     action_heatmaps(tsv, save_figures=True)
 
     # --- re-evaluate the best code vs the start state ---
@@ -177,7 +168,9 @@ def main():
             "# PPO code search, wide reward window (3.0-3.8 dB)",
             "",
             f"{n_ep} epochs x {args.steps} steps on the near-earth "
-            f"code-search env, {args.num_transmissions} transmissions per "
+            f"code-search env, "
+            f"{'/'.join(str(t) for t in args.num_transmissions)} "
+            "transmissions per "
             f"(SNR, step) over SNR {list(args.snr)} dB, 50 decode "
             "iterations, standard entropy bonus, seed "
             f"{args.seed} ({train_s:,.0f} s on one chip).  Reward = "

@@ -310,3 +310,31 @@ def test_env_staged_dynamic_decode_identical():
     for colname in ("errors_decoded", "iterations", "success"):
         np.testing.assert_array_equal(plain.ber_stats.column(colname),
                                       staged.ber_stats.column(colname))
+
+
+def test_env_staged_dynamic_decode_chunked_branch():
+    """The chunked phase-2 path (few failures: pad/gather/scatter merge)
+    is also exact — the production shape at deep floor points."""
+    from ldpc_tpu.codes import wifi_code
+    from ldpc_tpu.envs import LdpcCodeSearchEnv
+
+    # high SNR, many words, generous phase-1 cap -> failures are a small
+    # fraction, forcing the `failed.size <= 0.25 * b` chunked branch
+    kw = dict(code=wifi_code(), snr_points=(3.2,), num_transmissions=64,
+              num_iterations=16, seed=9, dmax_cn_cap=32, dmax_vn_cap=12)
+    plain = LdpcCodeSearchEnv(**kw)
+    staged = LdpcCodeSearchEnv(phase1_iterations=8, **kw)
+    row = np.zeros(plain.z, np.int32)
+    row[[2, 11, 40]] = 1
+    a = np.concatenate([np.zeros(plain.x_bits + plain.y_bits, np.int32),
+                        row])
+    _, r0, _, _ = plain.step(a)
+    _, r1, _, _ = staged.step(a)
+    # the branch taken must actually be the chunked one: some but < 25%
+    # of words fail phase 1
+    nfail = int((staged.ber_stats.column("iterations") > 8).sum())
+    assert 0 < nfail <= 0.25 * 64, nfail
+    assert r0 == r1
+    for colname in ("errors_decoded", "iterations", "success"):
+        np.testing.assert_array_equal(plain.ber_stats.column(colname),
+                                      staged.ber_stats.column(colname))
