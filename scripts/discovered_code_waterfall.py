@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--out", default="/root/repo/docs/discovered_code")
     ap.add_argument("--steps-tsv", default=DEFAULT_STEPS_TSV,
                     help="search log to take the max-reward code from")
+    ap.add_argument("--instance", default=None,
+                    help="saved code instance to measure INSTEAD of the "
+                         "steps-tsv max-reward code (e.g. a top-K-selected "
+                         "code)")
     ap.add_argument("--name", default="rl_discovered_wide_s47")
     ap.add_argument("--baseline", default="near-earth",
                     help="near-earth or instance:<path> (compare a new "
@@ -101,7 +105,12 @@ def main():
     from ldpc_tpu.codes.io import save_code_instance
 
     on_cpu = os.environ.get("LDPC_TPU_PLATFORM") == "cpu"
-    best_code, train_reward = load_best_code(args.steps_tsv, args.name)
+    if args.instance:
+        from ldpc_tpu.codes.io import load_code_instance
+        best_code, train_reward = load_code_instance(args.instance)[0], \
+            float("nan")
+    else:
+        best_code, train_reward = load_best_code(args.steps_tsv, args.name)
     if args.baseline.startswith("instance:"):
         from ldpc_tpu.codes.io import load_code_instance
         base_name = "baseline_instance"
