@@ -121,9 +121,13 @@ def main():
         "code": args.code, "n": code.n, "max_iters": args.max_iters,
         "engine": args.engine, "elapsed_s": elapsed, "points": points,
     }
-    out_base = ("/root/repo/docs/error_floor_discovered"
-                if args.code.startswith("instance:")
-                else "/root/repo/docs/error_floor")
+    if args.code.startswith("instance:"):
+        # per-instance artifact name: never clobber another instance's
+        # floor study (the z_Mb_Nb_sha prefix is unique per code)
+        stem = args.code[len("instance:"):].split("_")[-1][:12]
+        out_base = f"/root/repo/docs/error_floor_instance_{stem}"
+    else:
+        out_base = "/root/repo/docs/error_floor"
     if not args.no_write:
         with open(out_base + ".json", "w") as f:
             json.dump(out, f, indent=1)
