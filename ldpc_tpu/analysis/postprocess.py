@@ -21,6 +21,7 @@ from ..codes import uncompress
 from ..sim.evaluate import evaluate_code
 
 __all__ = ["post_mortem_best_codes", "action_heatmaps", "reward_surface",
+           "reeval_reward", "topk_select",
            "REWARD_FOR_NEAR_EARTH_3_0_TO_3_8",
            "REWARD_FOR_NEAR_EARTH_3_0_TO_3_4", "POST_MORTEM_SNR_POINTS"]
 
@@ -55,6 +56,96 @@ def learning_windows(df, num: int = 10):
                     "mean": float(sub.mean()), "max": float(sub.max()),
                     "frac_positive": float((sub > 0).mean())})
     return out
+
+
+def reeval_reward(code, snr_points, num_transmissions, max_iters, seeds,
+                  **eval_kw):
+    """The env's reward computation (code_search.py step semantics) at
+    high fidelity: per-seed sweep -> scatter -> recursive fit -> ∫(1-fit).
+    Returns (mean, std, per-seed rewards)."""
+    from ..sim import calc_reward
+
+    rewards = []
+    for seed in seeds:
+        stats = evaluate_code(code, list(snr_points), num_transmissions,
+                              max_iters, seed=seed, **eval_kw)
+        scatter_snr, scatter_ber, *_ = stats.get_stats_v2()
+        rewards.append(calc_reward(scatter_snr, scatter_ber, snr_points))
+    return float(np.mean(rewards)), float(np.std(rewards)), rewards
+
+
+def topk_select(steps_tsv, block_rows: int = 2, block_cols: int = 16,
+                z: int = 511, *, topk: int = 8,
+                snr_points=(3.0, 3.2, 3.4, 3.6, 3.8),
+                reeval_transmissions: int = 256,
+                reeval_seeds=(21, 22, 23), max_iters: int = 50,
+                floor_penalties=(), floor_snrs=(),
+                floor_words: int = 65536, floor_seed: int = 616161,
+                floor_eval_kw=None, reeval_kw=None, verbose: bool = True):
+    """Top-K re-evaluated selection — THE selection step for every search.
+
+    Argmax over noisy train rewards is a measured winner's curse (r4:
+    train 0.841 re-evaluated to 0.799, rank 9/12 — docs/
+    rl_search_floor.md).  This re-scores the top-K DISTINCT candidates of
+    a search log at high fidelity — ``reeval_transmissions`` x seeds for
+    the fitted-line reward, ``floor_words`` for each FER floor term — and
+    selects on the RE-EVALUATED penalized objective
+    ``reward − Σ λ_i · FER(snr_i)``.
+
+    Returns ``(best_code, rows)``: rows sorted best-first, each carrying
+    train/true rewards, per-floor-point FERs with Wilson CIs, and the
+    penalized score; ``rows[0]["code"]`` is the winner.  Matches the
+    re-eval protocol of the reference's postProcessing.py:27-49, with
+    selection-integrity on top.
+    """
+    from ..sim.stats import wilson_interval
+
+    floor_penalties = list(floor_penalties)
+    floor_snrs = list(floor_snrs)
+    if len(floor_penalties) != len(floor_snrs):
+        raise ValueError("floor_penalties and floor_snrs lengths differ")
+    df = _read_steps(steps_tsv)
+    pos = df[df["reward"] > 0]
+    df = (pos if len(pos) else df).sort_values("reward", ascending=False)
+    cands = df.drop_duplicates("observation_hex").head(topk)
+    rows = []
+    for rank, (_, row) in enumerate(cands.iterrows()):
+        obs = np.frombuffer(bytes.fromhex(row["observation_hex"]),
+                            np.uint8)
+        code = uncompress(obs, block_rows, block_cols, z,
+                          name=f"topk_{rank}")
+        rm, rs, _ = reeval_reward(code, tuple(snr_points),
+                                  reeval_transmissions, max_iters,
+                                  reeval_seeds, **(reeval_kw or {}))
+        penalized = rm
+        floors = []
+        if floor_snrs:
+            stats = evaluate_code(code, floor_snrs, floor_words,
+                                  max_iters, seed=floor_seed,
+                                  **(floor_eval_kw or {}))
+            for lam, snr in zip(floor_penalties, floor_snrs):
+                sel = stats.column("snr") == snr
+                fe = int(stats.column("frame_errors")[sel].sum())
+                w = int(stats.column("weight")[sel].sum())
+                fer, flo, fhi = wilson_interval(fe, w)
+                floors.append({"snr_db": snr, "penalty": lam, "fer": fer,
+                               "fer_wilson95": [flo, fhi], "words": w})
+                penalized -= lam * fer
+        rows.append({
+            "rank_train": rank, "train_reward": float(row["reward"]),
+            "epoch": int(row["epoch"]),
+            "observation_hex": row["observation_hex"],
+            "reward_mean": rm, "reward_std": rs, "floors": floors,
+            "penalized": penalized, "code": code,
+        })
+        if verbose:
+            fstr = " ".join(f"FER@{f['snr_db']}={f['fer']:.2e}"
+                            for f in floors)
+            print(f"[topk {rank}] train {row['reward']:.4f} -> reward "
+                  f"{rm:.5f} ± {rs:.5f}  {fstr}  penalized "
+                  f"{penalized:.5f}", flush=True)
+    rows.sort(key=lambda r: -r["penalized"])
+    return rows[0]["code"], rows
 
 
 def post_mortem_best_codes(file_path, block_rows: int = 2,

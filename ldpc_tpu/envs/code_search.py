@@ -112,13 +112,31 @@ class LdpcCodeSearchEnv:
             else tuple(int(t) for t in tx)
         self.num_iterations = int(num_iterations)
         self.time_budget_s = float(time_budget_s)
-        # Floor-aware reward shaping: subtract ``floor_penalty * FER`` at
-        # snr_points[floor_snr_index] from the fitted-line reward.  The
-        # plain integral is waterfall-dominated, so iterated searches buy
-        # waterfall with error floor (docs/boot_code.md); the penalty
-        # makes the floor part of the objective.  0.0 = reference reward.
-        self.floor_penalty = float(floor_penalty)
-        self.floor_snr_index = int(floor_snr_index)
+        # Floor-aware reward shaping: subtract ``sum_i penalty_i * FER``
+        # at snr_points[floor_snr_index_i] from the fitted-line reward.
+        # The plain integral is waterfall-dominated, so iterated searches
+        # buy waterfall with error floor (docs/boot_code.md); the penalty
+        # makes the floor part of the objective.  A scalar penalty + index
+        # is the single-point r4 objective; sequences give each floor
+        # point its own weight (multi-point floor terms, VERDICT r4 #1).
+        # ``floor_penalty_scale`` multiplies every term — the annealing
+        # knob a training loop can ramp per epoch (rl/ppo.py
+        # ``epoch_callback``) without rebuilding the env.  0.0 penalties
+        # = reference reward (ldpc_env.py:319-345).
+        pens = np.atleast_1d(np.asarray(floor_penalty, np.float64))
+        idxs = np.atleast_1d(np.asarray(floor_snr_index, np.int64))
+        if pens.shape[0] != idxs.shape[0]:
+            if pens.shape[0] == 1:
+                pens = np.repeat(pens, idxs.shape[0])
+            elif idxs.shape[0] == 1:
+                idxs = np.repeat(idxs, pens.shape[0])
+            else:
+                raise ValueError(
+                    f"floor_penalty and floor_snr_index lengths differ: "
+                    f"{pens.shape[0]} vs {idxs.shape[0]}")
+        self.floor_penalties = pens
+        self.floor_snr_indices = idxs
+        self.floor_penalty_scale = 1.0
         # The PRIMARY episode terminator is the decode-iteration budget:
         # unlike the reference's wall-clock budget (ldpc_env.py:25,260-262,
         # kept as a secondary circuit breaker via time_budget_s), iteration
@@ -318,13 +336,16 @@ class LdpcCodeSearchEnv:
             self.scatter_snr, self.scatter_ber = scatter_snr, scatter_ber
             self.ber_points = ber_data
             reward = calc_reward(scatter_snr, scatter_ber, self.snr_points)
-            if self.floor_penalty:
-                snr_f = self.snr_points[self.floor_snr_index]
+            for pen, idx in zip(self.floor_penalties,
+                                self.floor_snr_indices):
+                if not pen:
+                    continue
+                snr_f = self.snr_points[idx]
                 sel = stats.column("snr") == snr_f
                 w = stats.column("weight")[sel].sum()
                 fer = (stats.column("frame_errors")[sel].sum() / w
                        if w else 0.0)
-                reward -= self.floor_penalty * float(fer)
+                reward -= self.floor_penalty_scale * pen * float(fer)
         else:
             reward = self.reward_for_illegal_action
 

@@ -197,7 +197,7 @@ def ppo(env_fn: Callable | Sequence[Callable],
         mesh=None, env_mesh=None, env_batched: bool | None = None,
         logger: EpochLogger | None = None, output_dir=None,
         checkpoint_dir=None, resume: bool = False,
-        deterministic_eval: bool = False):
+        deterministic_eval: bool = False, epoch_callback=None):
     """Run PPO; returns (actor_params, critic_params, logger).
 
     ``env_fn`` is a thunk ``() -> env`` with the LdpcCodeSearchEnv
@@ -215,6 +215,12 @@ def ppo(env_fn: Callable | Sequence[Callable],
     (params, optimizer states, PRNG key, env states, episode accumulators)
     and continues from the next epoch; pass a logger/output_dir opened in
     append mode to keep one contiguous progress/steps log.
+
+    ``epoch_callback(epoch, envs)`` (optional) runs before each epoch's
+    rollout — the hook for schedules that mutate env knobs per epoch
+    (e.g. annealing ``floor_penalty_scale`` on the code-search env).  It
+    must be a pure function of ``epoch`` for resume to reproduce the
+    schedule (it is re-invoked at the resumed epoch, not replayed).
     """
     ppo_cfg = ppo_cfg or PPOConfig()
     from ..envs.vector import EnvironmentVector
@@ -343,6 +349,8 @@ def ppo(env_fn: Callable | Sequence[Callable],
     start_time = time.time()
 
     for epoch in range(start_epoch, ppo_cfg.epochs):
+        if epoch_callback is not None:
+            epoch_callback(epoch, vec.envs)
         for t in range(ppo_cfg.steps_per_epoch):
             rng, key = jax.random.split(rng)
             keys = jax.random.split(key, num_envs)

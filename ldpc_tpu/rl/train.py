@@ -81,10 +81,22 @@ def main(argv=None):
                         help="host-staged env decode: phase-1 cap; only "
                              "failures pay the full budget (identical "
                              "results, big win for deep floor points)")
-    parser.add_argument("--floor_penalty", type=float, default=0.0,
-                        help="subtract penalty * FER(highest SNR point) "
+    parser.add_argument("--floor_penalty", type=float, nargs="+",
+                        default=[0.0],
+                        help="subtract penalty_i * FER(floor point i) "
                              "from the reward (floor-aware search; the "
-                             "plain integral is waterfall-dominated)")
+                             "plain integral is waterfall-dominated); one "
+                             "value per --floor_snr_index entry")
+    parser.add_argument("--floor_snr_index", type=int, nargs="+",
+                        default=[-1],
+                        help="indices into --snr of the floor-penalty "
+                             "points (default: the highest point)")
+    parser.add_argument("--floor_penalty_final", type=float, default=None,
+                        help="anneal the floor-penalty SCALE linearly "
+                             "from 1.0 at epoch 0 to final/initial at the "
+                             "last epoch (initial = the largest "
+                             "--floor_penalty term); resume recomputes "
+                             "the schedule from the epoch number")
     parser.add_argument("--snr", type=float, nargs="+", default=None,
                         help="env SNR points (default 3.0 3.2 3.4, "
                              "ldpc_env.py:88; e.g. 3.0 3.2 3.4 3.6 3.8 "
@@ -103,6 +115,19 @@ def main(argv=None):
                              "to use as the search start state instead of "
                              "CCSDS near-earth — e.g. bootstrap a new "
                              "search from a previously discovered code")
+    parser.add_argument("--start_code", default=None,
+                        choices=["near-earth", "wifi"],
+                        help="named start state: 'wifi' searches the "
+                             "802.11n rate-5/6 shape (4x24, Z=81) — the "
+                             "env/decoder/encoder are code-agnostic, so "
+                             "the MDP generalizes beyond the reference's "
+                             "hardcoded near-earth family "
+                             "(wifiMatrices.py:6-34 + ldpc_env.py:82-90)")
+    parser.add_argument("--dmax_cn_cap", type=int, default=None,
+                        help="check-degree cap for the dynamic decoder "
+                             "(default: env default 48; wifi uses 24)")
+    parser.add_argument("--dmax_vn_cap", type=int, default=None,
+                        help="variable-degree cap (default 18; wifi 8)")
     args = parser.parse_args(argv)
 
     from ..envs.code_search import LdpcCodeSearchEnv
@@ -120,17 +145,42 @@ def main(argv=None):
     env_kw = {} if args.snr is None else {"snr_points": tuple(args.snr)}
     tx = (args.num_transmissions[0] if len(args.num_transmissions) == 1
           else tuple(args.num_transmissions))
-    if args.floor_penalty:
-        env_kw["floor_penalty"] = args.floor_penalty
+    if any(args.floor_penalty):
+        env_kw["floor_penalty"] = (
+            args.floor_penalty[0] if len(args.floor_penalty) == 1
+            else tuple(args.floor_penalty))
+        env_kw["floor_snr_index"] = (
+            args.floor_snr_index[0] if len(args.floor_snr_index) == 1
+            else tuple(args.floor_snr_index))
+    epoch_callback = None
+    if args.floor_penalty_final is not None and any(args.floor_penalty):
+        initial = max(args.floor_penalty)
+        ratio = args.floor_penalty_final / initial
+        last = max(1, args.epochs - 1)
+
+        def epoch_callback(epoch, envs):  # noqa: F811 — the anneal hook
+            scale = 1.0 + (ratio - 1.0) * min(epoch, last) / last
+            for e in envs:
+                e.floor_penalty_scale = scale
     if args.phase1_iterations:
         env_kw["phase1_iterations"] = args.phase1_iterations
     if args.start_instance:
         from ..codes.io import load_code_instance
         env_kw["code"] = load_code_instance(args.start_instance)[0]
+    elif args.start_code == "wifi":
+        from ..codes import wifi_code
+        env_kw["code"] = wifi_code()
+        env_kw.setdefault("dmax_cn_cap", 24)
+        env_kw.setdefault("dmax_vn_cap", 8)
+    if args.dmax_cn_cap:
+        env_kw["dmax_cn_cap"] = args.dmax_cn_cap
+    if args.dmax_vn_cap:
+        env_kw["dmax_vn_cap"] = args.dmax_vn_cap
     return ppo(lambda: LdpcCodeSearchEnv(
         seed=args.seed, num_transmissions=tx, **env_kw),
         ppo_cfg, logger=logger, num_envs=args.num_envs, resume=args.resume,
-        checkpoint_dir=f"{args.data_dir}/{args.exp_name}/checkpoints")
+        checkpoint_dir=f"{args.data_dir}/{args.exp_name}/checkpoints",
+        epoch_callback=epoch_callback)
 
 
 if __name__ == "__main__":
