@@ -425,7 +425,12 @@ def measure():
             run(jax.random.fold_in(key, 999),
                 jnp.full((batch,), 3.4, jnp.float32))
 
-    trials = int(os.environ.get("LDPC_TPU_BENCH_TRIALS", "4"))
+    # Variance protocol (VERDICT r4 #3): N timed captures per SNR point
+    # with DISTINCT inputs, report the MEDIAN and carry every trial in
+    # the emitted JSON — a ±4% chip-weather swing is then visibly
+    # variance, not a round-over-round regression.  (The reference
+    # prints one-shot timings, ldpc.py:383-387.)
+    trials = int(os.environ.get("LDPC_TPU_BENCH_TRIALS", "5"))
     detail = {}
     for si, snr in enumerate(SNR_POINTS):
         snr_arr = jnp.full((batch,), snr, jnp.float32)
@@ -433,21 +438,25 @@ def measure():
         # untimed warm pass per point (lazy branch compiles must not
         # leak into timing)
         run(jax.random.fold_in(point_key, trials), snr_arr)
-        best = float("inf")
+        bits = batch * code.n
+        rates = []
         for t in range(trials):
             t0 = time.time()
             errs, iters, succ = run(
                 jax.random.fold_in(point_key, t), snr_arr)
-            best = min(best, time.time() - t0)
-        bits = batch * code.n
+            rates.append(bits / (time.time() - t0))
+        med = float(sorted(rates)[len(rates) // 2]) if trials % 2 else \
+            float(sum(sorted(rates)[trials // 2 - 1:trials // 2 + 1]) / 2)
         detail[snr] = {
-            "bit_per_s": bits / best,
+            "bit_per_s": med,
+            "trials_bit_per_s": [round(r, 1) for r in rates],
             "ber": float(errs.sum()) / bits,
             "success_rate": float(succ.mean()),
             "avg_iterations": float(iters.mean()),
         }
-        print(f"[bench] snr {snr}: {bits / best:,.0f} bit/s  "
-              f"BER {detail[snr]['ber']:.3e}  "
+        spread = (max(rates) - min(rates)) / med * 100
+        print(f"[bench] snr {snr}: {med:,.0f} bit/s median of {trials} "
+              f"(spread {spread:.1f}%)  BER {detail[snr]['ber']:.3e}  "
               f"iters {detail[snr]['avg_iterations']:.1f}  "
               f"batch {batch} engine {engine}", file=sys.stderr)
 
@@ -504,6 +513,33 @@ def measure():
             "scripts/ber_parity.py and investigate before shipping")
     value = detail[3.4]["bit_per_s"]
     extra = {}
+    # Roofline fraction (VERDICT r4 #4): measured throughput over the
+    # kernel's speed-of-light — the throughput if every word paid exactly
+    # its own convergence iterations at the best measured per-tile-
+    # iteration cost (docs/kernel_roofline.md; the residual gap is the
+    # adjudicated Mosaic scheduling property).  This is a VPU-bound
+    # workload, so the roofline anchor is the measured per-tile-iter
+    # cost, not MXU FLOPs.
+    roof_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "docs", "kernel_roofline.json")
+    if engine == "pallas" and os.path.exists(roof_path):
+        with open(roof_path) as f:
+            roof = json.load(f)
+        tau_us = roof.get("us_per_tile_iter_mi10_best")
+        if tau_us:
+            tiles = -(-batch // 128)   # tile_b = 128, the kernel default
+            ideal_s = tiles * detail[3.4]["avg_iterations"] * tau_us * 1e-6
+            sol = batch * code.n / ideal_s
+            extra["sol_bit_per_s"] = round(sol, 1)
+            extra["mfu_fraction"] = round(value / sol, 4)
+            print(f"[bench] roofline: speed-of-light {sol / 1e6:,.0f} "
+                  f"Mbit/s @3.4 (tau {tau_us} us/tile-iter), measured "
+                  f"fraction {value / sol:.3f}", file=sys.stderr)
+    extra["trials"] = {str(s): detail[s]["trials_bit_per_s"]
+                       for s in SNR_POINTS}
+    extra["sweep_bit_per_s"] = {str(s): round(detail[s]["bit_per_s"], 1)
+                                for s in SNR_POINTS}
+    extra["sweep_ber"] = {str(s): detail[s]["ber"] for s in SNR_POINTS}
     if engine == "pallas" and schedule != "flooding":
         # the schedule change is adjudicated by docs/layered_ab.json
         # (BER within the flooding run's Monte-Carlo band at every point)
@@ -518,7 +554,7 @@ def measure():
         # adjudicated by docs/quantized_ber.json (int8 FER within the
         # bfloat16 run's Wilson CI at every point)
         extra["store_dtype"] = adopted_store
-    emit(round(value, 1), round(value / BASELINE_AT_3P4, 2), extra or None)
+    emit(round(value, 1), round(value / BASELINE_AT_3P4, 2), extra)
 
 
 def main():
