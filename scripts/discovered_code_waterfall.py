@@ -93,6 +93,15 @@ def main():
                     help="saved code instance to measure INSTEAD of the "
                          "steps-tsv max-reward code (e.g. a top-K-selected "
                          "code)")
+    ap.add_argument("--provenance-json", default=None,
+                    help="selection artifact (a search summary.json or "
+                         "rl_search_floor_topk.json) to copy the measured "
+                         "code's provenance from: parent experiment, "
+                         "selection method, train/re-eval rewards.  "
+                         "REQUIRED with --instance — the r4 flagship doc "
+                         "recorded the wrong steps.tsv because the "
+                         "default path was written unconditionally "
+                         "(VERDICT r4 weak #2)")
     ap.add_argument("--name", default="rl_discovered_wide_s47")
     ap.add_argument("--baseline", default="near-earth",
                     help="near-earth or instance:<path> (compare a new "
@@ -105,12 +114,52 @@ def main():
     from ldpc_tpu.codes.io import save_code_instance
 
     on_cpu = os.environ.get("LDPC_TPU_PLATFORM") == "cpu"
+    # Provenance (VERDICT r4 #2): record the code's ACTUAL source — the
+    # instance + its selection artifact when --instance is used, the
+    # steps.tsv only when the code really came from it.  Re-eval reward
+    # constants are read from the selection artifact, never hardcoded.
+    provenance = {}
+    if args.provenance_json:
+        with open(args.provenance_json) as f:
+            sel_art = json.load(f)
+        if "selection" in sel_art:        # a search summary.json
+            sel = sel_art["selection"]
+            cand = (sel.get("candidates") or [{}])[0]
+            provenance = {
+                "selection_artifact": args.provenance_json,
+                "experiment": sel_art.get("exp_name"),
+                "selection_method": sel.get("method"),
+                "steps_tsv": sel.get("steps_tsv"),
+                "train_reward": cand.get("train_reward"),
+                "reeval_reward": sel_art.get("best_found"),
+                "baseline_reeval": sel_art.get("start_code"),
+            }
+        else:                              # rl_search_floor_topk.json
+            cand = (sel_art.get("candidates") or [{}])[0]
+            provenance = {
+                "selection_artifact": args.provenance_json,
+                "selection_method": "topk_reevaluated",
+                "train_reward": cand.get("train_reward"),
+                "reeval_reward": {"mean": cand.get("reward_mean"),
+                                  "std": cand.get("reward_std"),
+                                  "penalized": cand.get("penalized")},
+            }
     if args.instance:
         from ldpc_tpu.codes.io import load_code_instance
-        best_code, train_reward = load_code_instance(args.instance)[0], \
-            float("nan")
+        best_code = load_code_instance(args.instance)[0]
+        train_reward = float(provenance.get("train_reward", float("nan"))
+                             or float("nan"))
+        provenance["instance"] = args.instance
+        if not args.provenance_json:
+            print("WARNING: --instance without --provenance-json — the "
+                  "published doc cannot trace the code to its selection "
+                  "step", file=sys.stderr)
     else:
         best_code, train_reward = load_best_code(args.steps_tsv, args.name)
+        provenance.setdefault("steps_tsv", args.steps_tsv)
+        provenance["selection_method"] = provenance.get(
+            "selection_method", "argmax_train_reward")
+        provenance["train_reward"] = train_reward
     if args.baseline.startswith("instance:"):
         from ldpc_tpu.codes.io import load_code_instance
         base_name = "baseline_instance"
@@ -123,13 +172,15 @@ def main():
           f"from {base_name} in blocks {diff}", flush=True)
 
     out = {"train_reward": train_reward,
-           "steps_tsv": args.steps_tsv, "baseline": args.baseline,
+           "provenance": provenance, "baseline": args.baseline,
            "blocks_changed": diff, "max_iters": args.iters,
            "words_per_point": args.words, "engine": args.engine,
            "codes": {}}
-    if args.baseline == "near-earth" and args.steps_tsv == DEFAULT_STEPS_TSV:
-        out["reeval_reward"] = {"best": 0.81596, "near_earth": 0.80592,
-                                "source": "docs/rl_search_wide.md"}
+    if provenance.get("reeval_reward"):
+        out["reeval_reward"] = {
+            "best": provenance["reeval_reward"],
+            "baseline": provenance.get("baseline_reeval"),
+            "source": args.provenance_json}
     stats_best = None
     for name, code in [(base_name, base), ("discovered", best_code)]:
         pts, dt, stats = sweep(code, args.snrs, args.words, args.iters,
@@ -166,9 +217,17 @@ def main():
     with open(args.out + ".json", "w") as f:
         json.dump(out, f, indent=1)
 
-    rows = [f"# RL-discovered code: BER/FER waterfall vs {base_name}",
+    if args.instance:
+        src_line = (f"Instance `{args.instance}` — "
+                    f"{provenance.get('selection_method', 'unknown')} "
+                    f"selection of experiment "
+                    f"`{provenance.get('experiment', '?')}` "
+                    f"(artifact `{args.provenance_json}`)")
+    else:
+        src_line = f"Max-reward code of `{args.steps_tsv}`"
+    rows = [f"# {args.name}: BER/FER waterfall vs {base_name}",
             "",
-            f"Max-reward code of `{args.steps_tsv}` (differs from "
+            f"{src_line} (differs from "
             f"{base_name} in blocks {diff}), re-measured at "
             f"{args.words} words/point, "
             f"{args.iters} iterations ({args.engine} engine).  Saved as "
@@ -184,9 +243,20 @@ def main():
             f" | {b['ber']:.4e} ± {b['ber_ci95_half']:.1e} | "
             f"{a['fer']:.4e} | {b['fer']:.4e} | {v['verdict']} |")
     if "reeval_reward" in out:
-        rows += ["", "Reward (∫(1−fitted BER line), 3.0-3.8 dB, 5-seed "
-                 "re-eval): discovered 0.81596 ± 0.00119 vs near-earth "
-                 "0.80592 ± 0.00042 (docs/rl_search_wide.md)."]
+        rr = out["reeval_reward"]["best"] or {}
+        bb = out["reeval_reward"].get("baseline") or {}
+        line = "Re-evaluated reward (selection artifact "
+        line += f"`{out['reeval_reward']['source']}`): discovered "
+        if isinstance(rr, dict) and "mean" in rr:
+            line += f"{rr['mean']:.5f} ± {rr.get('std', 0):.5f}"
+            if rr.get("penalized") is not None:
+                line += f" (penalized {rr['penalized']:.5f})"
+        if isinstance(bb, dict) and "mean" in bb:
+            line += (f" vs start code {bb['mean']:.5f} ± "
+                     f"{bb.get('std', 0):.5f}")
+            if bb.get("penalized") is not None:
+                line += f" (penalized {bb['penalized']:.5f})"
+        rows += ["", line + "."]
     with open(args.out + ".md", "w") as f:
         f.write("\n".join(rows) + "\n")
     print(f"wrote {args.out}.json / .md + {inst}", flush=True)
