@@ -165,7 +165,11 @@ def sharded_staged_sweep_step(code: QCCode, mesh: Mesh,
         store_dtype=store_dtype, tile_b=tile_b, schedule=schedule,
         engine=engine, sort_words=sort_words)
     opts = _pallas_compiler_options(engine)
-    cache: dict = {}
+    # Bounded like the other executable caches (utils/cache.py): a stale
+    # per-batch-size entry pins a compiled shard_map executable and its
+    # constants, and a long-lived pod driver can touch many batch sizes.
+    from ..utils.cache import BoundedCache
+    cache: dict = BoundedCache(16)
 
     def build(b):
         if b % ndev:
