@@ -91,6 +91,11 @@ def main():
                     default=[11, 12, 13, 14, 15])
     ap.add_argument("--resume", action="store_true",
                     help="continue the search from its latest checkpoint")
+    ap.add_argument("--select-only", action="store_true",
+                    help="skip training: run top-K re-evaluated selection "
+                         "+ summary from the EXISTING steps.tsv (early "
+                         "exit for an interrupted search, or re-selection "
+                         "under different floor terms)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run: wifi env, 2 epochs x 2 steps")
     args = ap.parse_args()
@@ -127,24 +132,27 @@ def main():
         snrs = (3.0, 3.5, 4.0)
         floor_pens, floor_snrs, floor_words = [], [], 64
     else:
-        train.main([
-            "--epochs", str(args.epochs), "--steps", str(args.steps),
-            "--num_transmissions", *[str(t) for t in args.num_transmissions],
-            "--floor_penalty", *[str(p) for p in args.floor_penalty],
-            "--floor_snr_index", *[str(i) for i in args.floor_snr_index],
-            *(["--floor_penalty_final", str(args.floor_penalty_final)]
-              if args.floor_penalty_final is not None else []),
-            *(["--phase1_iterations", str(args.phase1_iterations)]
-              if args.phase1_iterations else []),
-            "--entropy_bonus", "--seed", str(args.seed),
-            "--num_envs", str(args.num_envs),
-            *(["--resume"] if args.resume else []),
-            "--exp_name", args.exp_name, "--data_dir", args.data_dir,
-            "--snr", *[str(s) for s in args.snr]]
-            + (["--start_instance", args.start_instance]
-               if args.start_instance else [])
-            + (["--start_code", args.start_code]
-               if args.start_code else []))
+        if not args.select_only:
+            train.main([
+                "--epochs", str(args.epochs), "--steps", str(args.steps),
+                "--num_transmissions",
+                *[str(t) for t in args.num_transmissions],
+                "--floor_penalty", *[str(p) for p in args.floor_penalty],
+                "--floor_snr_index",
+                *[str(i) for i in args.floor_snr_index],
+                *(["--floor_penalty_final", str(args.floor_penalty_final)]
+                  if args.floor_penalty_final is not None else []),
+                *(["--phase1_iterations", str(args.phase1_iterations)]
+                  if args.phase1_iterations else []),
+                "--entropy_bonus", "--seed", str(args.seed),
+                "--num_envs", str(args.num_envs),
+                *(["--resume"] if args.resume else []),
+                "--exp_name", args.exp_name, "--data_dir", args.data_dir,
+                "--snr", *[str(s) for s in args.snr]]
+                + (["--start_instance", args.start_instance]
+                   if args.start_instance else [])
+                + (["--start_code", args.start_code]
+                   if args.start_code else []))
         snrs = tuple(args.snr)
         reeval_tx, reeval_seeds, reeval_iters = (
             args.reeval_transmissions, args.reeval_seeds, 50)
