@@ -292,3 +292,40 @@ def test_bench_cpu_smoke_emits_metric_json():
     assert "error" not in line
     assert line["value"] > 0
     assert line["vs_baseline"] > 0
+    # r5 variance protocol: every capture carries the per-trial rates
+    # and the full per-point sweep so chip-weather spread is visible in
+    # the artifact itself (VERDICT r4 #3).
+    assert set(line["trials"]) == set(line["sweep_bit_per_s"])
+    for snr, rates in line["trials"].items():
+        assert len(rates) == 1          # TRIALS=1 in this smoke
+        assert line["sweep_bit_per_s"][snr] > 0
+    assert set(line["sweep_ber"]) == set(line["sweep_bit_per_s"])
+
+
+def test_readme_regen_renders_median_table(tmp_path, monkeypatch):
+    sys.path.insert(0, os.path.join(os.path.dirname(BENCH), "scripts"))
+    try:
+        import update_readme_bench as urb
+    finally:
+        sys.path.pop(0)
+    parsed = {"sweep_bit_per_s": {"3.0": 2.5e8, "3.4": 7e8},
+              "trials": {"3.0": [2.4e8, 2.5e8, 2.6e8],
+                         "3.4": [6.9e8, 7.0e8, 7.1e8]},
+              "mfu_fraction": 0.55, "sol_bit_per_s": 1.27e9}
+    block = urb.render(parsed, "BENCH_r05.json")
+    assert "| 3.4 dB | 700 Mbit/s" in block
+    assert "trials" in block and "speed-of-light" in block
+    readme = tmp_path / "README.md"
+    readme.write_text("x\n<!-- bench:begin -->\nOLD\n<!-- bench:end -->\ny")
+    monkeypatch.setattr(urb, "README", str(readme))
+    monkeypatch.setattr(sys, "argv", ["update_readme_bench",
+                                      "--from-json", "/dev/null"])
+    import json as _json
+    fj = tmp_path / "cap.json"
+    fj.write_text(_json.dumps(parsed))
+    monkeypatch.setattr(sys, "argv", ["update_readme_bench",
+                                      "--from-json", str(fj)])
+    assert urb.main() == 0
+    text = readme.read_text()
+    assert "OLD" not in text and "700 Mbit/s" in text
+    assert text.startswith("x\n") and text.endswith("\ny")
