@@ -535,6 +535,12 @@ def measure():
             print(f"[bench] roofline: speed-of-light {sol / 1e6:,.0f} "
                   f"Mbit/s @3.4 (tau {tau_us} us/tile-iter), measured "
                   f"fraction {value / sol:.3f}", file=sys.stderr)
+    # Toolchain watch (ROADMAP): the Mosaic scheduling gap is a jaxlib
+    # property — stamp the versions so a toolchain change is visible in
+    # the round-over-round artifacts.
+    import jaxlib
+    extra["versions"] = {"jax": jax.__version__,
+                         "jaxlib": jaxlib.__version__}
     extra["trials"] = {str(s): detail[s]["trials_bit_per_s"]
                        for s in SNR_POINTS}
     extra["sweep_bit_per_s"] = {str(s): round(detail[s]["bit_per_s"], 1)
