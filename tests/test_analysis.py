@@ -123,3 +123,20 @@ def test_mat_load_infers_z_without_hints(tmp_path):
     loaded, _ = load_code_instance(path)
     assert loaded.z == code.z == 81
     assert np.array_equal(loaded.to_dense(), code.to_dense())
+
+
+def test_chain_and_frontier_figures(tmp_path):
+    """The two committed chain figures regenerate from repo artifacts."""
+    import importlib.util
+    import os
+
+    for script, png in [("chain_figure.py", "chain.png"),
+                        ("reward_floor_frontier.py", "frontier.png")]:
+        path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                            script)
+        spec = importlib.util.spec_from_file_location(script[:-3], path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = tmp_path / png
+        mod.main(out=str(out))
+        assert out.exists() and out.stat().st_size > 10_000
