@@ -114,23 +114,38 @@ def topk_select(steps_tsv, block_rows: int = 2, block_cols: int = 16,
                             np.uint8)
         code = uncompress(obs, block_rows, block_cols, z,
                           name=f"topk_{rank}")
-        rm, rs, _ = reeval_reward(code, tuple(snr_points),
-                                  reeval_transmissions, max_iters,
-                                  reeval_seeds, **(reeval_kw or {}))
-        penalized = rm
-        floors = []
-        if floor_snrs:
-            stats = evaluate_code(code, floor_snrs, floor_words,
-                                  max_iters, seed=floor_seed,
-                                  **(floor_eval_kw or {}))
-            for lam, snr in zip(floor_penalties, floor_snrs):
-                sel = stats.column("snr") == snr
-                fe = int(stats.column("frame_errors")[sel].sum())
-                w = int(stats.column("weight")[sel].sum())
-                fer, flo, fhi = wilson_interval(fe, w)
-                floors.append({"snr_db": snr, "penalty": lam, "fer": fer,
-                               "fer_wilson95": [flo, fhi], "words": w})
-                penalized -= lam * fer
+        try:
+            rm, rs, _ = reeval_reward(code, tuple(snr_points),
+                                      reeval_transmissions, max_iters,
+                                      reeval_seeds, **(reeval_kw or {}))
+            penalized = rm
+            floors = []
+            if floor_snrs:
+                stats = evaluate_code(code, floor_snrs, floor_words,
+                                      max_iters, seed=floor_seed,
+                                      **(floor_eval_kw or {}))
+                for lam, snr in zip(floor_penalties, floor_snrs):
+                    sel = stats.column("snr") == snr
+                    fe = int(stats.column("frame_errors")[sel].sum())
+                    w = int(stats.column("weight")[sel].sum())
+                    fer, flo, fhi = wilson_interval(fe, w)
+                    floors.append({"snr_db": snr, "penalty": lam,
+                                   "fer": fer,
+                                   "fer_wilson95": [flo, fhi],
+                                   "words": w})
+                    penalized -= lam * fer
+        except Exception as exc:  # noqa: BLE001
+            # The static Pallas kernel bakes each candidate's shift table
+            # in as static rotations, so a candidate can individually
+            # fail to compile (e.g. its Mosaic schedule lands a few KB
+            # over the scoped-VMEM ceiling).  One bad candidate must not
+            # kill a selection pass that already paid for the others —
+            # skip it, visibly.
+            if verbose:
+                print(f"[topk {rank}] SKIPPED (eval failed: "
+                      f"{type(exc).__name__}: {str(exc)[:200]})",
+                      flush=True)
+            continue
         rows.append({
             "rank_train": rank, "train_reward": float(row["reward"]),
             "epoch": int(row["epoch"]),
@@ -144,6 +159,9 @@ def topk_select(steps_tsv, block_rows: int = 2, block_cols: int = 16,
             print(f"[topk {rank}] train {row['reward']:.4f} -> reward "
                   f"{rm:.5f} ± {rs:.5f}  {fstr}  penalized "
                   f"{penalized:.5f}", flush=True)
+    if not rows:
+        raise RuntimeError("topk_select: every candidate evaluation "
+                           "failed — nothing to select")
     rows.sort(key=lambda r: -r["penalized"])
     return rows[0]["code"], rows
 

@@ -168,6 +168,18 @@ def main():
                       zip(args.floor_penalty, args.floor_snr_index) if p]
         floor_words = args.floor_words
     train_s = time.time() - t0
+    if args.select_only:
+        # wall clock of the ORIGINAL training run: last Time column of
+        # progress.txt (select-only reruns selection from steps.tsv, e.g.
+        # after a tunnel wedge killed the in-process selection phase)
+        try:
+            prog = os.path.join(os.path.dirname(tsv), "progress.txt")
+            with open(prog) as f:
+                header = f.readline().rstrip("\n").split("\t")
+                last = f.readlines()[-1].rstrip("\n").split("\t")
+            train_s = float(last[header.index("Time")])
+        except (OSError, ValueError, IndexError):
+            pass
     block_rows, block_cols, z = (base_code.block_rows,
                                  base_code.block_cols, base_code.z)
 
@@ -250,7 +262,11 @@ def main():
         "",
         f"{n_ep} epochs x {args.steps} steps"
         + (f" x {args.num_envs} envs" if args.num_envs > 1 else "")
-        + f" on the {base_code.name or 'near-earth'} code-search env, "
+        + " on the "
+        + (os.path.basename(args.start_instance).removesuffix(".npz")[:24]
+           + "… instance" if args.start_instance
+           else base_code.name or "near-earth")
+        + " code-search env, "
         f"{'/'.join(str(t) for t in args.num_transmissions)} "
         f"transmissions per (SNR, step) over SNR {list(snrs)} dB, 50 "
         "decode iterations, standard entropy bonus, seed "
