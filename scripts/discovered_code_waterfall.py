@@ -106,8 +106,10 @@ def main():
     ap.add_argument("--baseline", default="near-earth",
                     help="near-earth or instance:<path> (compare a new "
                          "discovery against a previous one)")
-    ap.add_argument("--save-dir",
-                    default="/root/repo/docs/experiments/search_wide")
+    ap.add_argument("--save-dir", default=None,
+                    help="where to save the stats-stamped instance "
+                         "(default: alongside --instance when given, "
+                         "else the search_wide experiment dir)")
     args = ap.parse_args()
 
     from ldpc_tpu.codes import near_earth_code
@@ -212,7 +214,10 @@ def main():
     if on_cpu:
         print("CPU smoke only — not writing artifacts", flush=True)
         return
-    inst = save_code_instance(best_code, args.save_dir, stats=stats_best)
+    save_dir = args.save_dir or (
+        os.path.dirname(os.path.abspath(args.instance)) if args.instance
+        else "/root/repo/docs/experiments/search_wide")
+    inst = save_code_instance(best_code, save_dir, stats=stats_best)
     out["code_instance"] = os.path.basename(inst)
     with open(args.out + ".json", "w") as f:
         json.dump(out, f, indent=1)
